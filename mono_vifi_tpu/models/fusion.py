@@ -1,0 +1,101 @@
+"""Flow-guided multi-frame feature fusion (reference networks/fusion_module.py).
+
+Warps the +/-1-frame encoder pyramids to frame 0 using the VFI flows, embeds
+the per-level flows with NeRF-style sin/cos positional encoding (10 octaves,
+2 -> 42 channels), mask-blends the two warped neighbors, concatenates with
+the center features and fuses with a per-level 1x1 conv + ELU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mono_vifi_tpu.models.common import ConvBlock1x1
+from mono_vifi_tpu.ops.image import resize_bilinear
+from mono_vifi_tpu.ops.sampling import warp
+
+
+def embed_flow(x: jax.Array, num_freqs: int = 10) -> jax.Array:
+    """[x, sin(2^k x), cos(2^k x) for k < num_freqs] along channels.
+
+    Reference networks/fusion_module.py:7-37 (include_input=True,
+    log_sampling). (B, H, W, 2) -> (B, H, W, 2 + 4*num_freqs).
+    """
+    parts = [x]
+    for k in range(num_freqs):
+        f = float(2**k)
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)
+
+
+class FusionModule(nn.Module):
+    """Fuse [feats_-1, feats_0, feats_+1] into frame-0 features.
+
+    Reference networks/fusion_module.py:40-130. `backbone` controls the extra
+    level-0 flow halving LiteMono needs (its pyramid starts at 1/4 res,
+    reference :71-74).
+    """
+
+    num_ch_enc: Sequence[int]
+    backbone: str = "ResNet18"
+    embed_multires: int = 10
+    dtype: jnp.dtype | None = None
+
+    def _embedding_pyramid(self, flow):
+        """Progressively halved + value-rescaled flow embeddings per level."""
+        oups = []
+        x = flow
+        for i in range(len(self.num_ch_enc)):
+            h, w = x.shape[1] // 2, x.shape[2] // 2
+            x = resize_bilinear(x, (h, w)) * 0.5
+            if i == 0 and self.backbone == "LiteMono":
+                x = resize_bilinear(x, (h // 2, w // 2)) * 0.5
+            oups.append(embed_flow(x, self.embed_multires))
+        return oups
+
+    @staticmethod
+    def _warp_pyramid(features, flow):
+        """Warp each pyramid level by the flow resized+rescaled to its size."""
+        out = []
+        fh, fw = flow.shape[1], flow.shape[2]
+        for feat in features:
+            H, W = feat.shape[1], feat.shape[2]
+            scale = jnp.asarray([W / fw, H / fh], flow.dtype)
+            flow_ = resize_bilinear(flow, (H, W)) * scale
+            out.append(warp(feat, flow_))
+        return out
+
+    @nn.compact
+    def __call__(self, features, flows, merge_mask):
+        feats_n1, feats_0, feats_p1 = features
+        flow_0_n1, flow_0_p1 = flows
+        levels = len(self.num_ch_enc)
+
+        feats_n1_0 = self._warp_pyramid(feats_n1, flow_0_n1)
+        feats_p1_0 = self._warp_pyramid(feats_p1, flow_0_p1)
+
+        zero_flow = jax.lax.stop_gradient(0.0 * flow_0_n1)
+        emb_0 = self._embedding_pyramid(zero_flow)
+        emb_n1 = self._embedding_pyramid(flow_0_n1)
+        emb_p1 = self._embedding_pyramid(flow_0_p1)
+
+        fused = []
+        for i in range(levels):
+            center = jnp.concatenate([feats_0[i], emb_0[i]], axis=-1)
+            n1 = jnp.concatenate([feats_n1_0[i], emb_n1[i]], axis=-1)
+            p1 = jnp.concatenate([feats_p1_0[i], emb_p1[i]], axis=-1)
+            H, W = center.shape[1], center.shape[2]
+            mask = resize_bilinear(merge_mask, (H, W))
+            blended = mask * n1 + (1 - mask) * p1
+            merged = jnp.concatenate([center, blended], axis=-1)
+            fused.append(
+                ConvBlock1x1(
+                    int(self.num_ch_enc[i]), self.dtype, name=f"conv1x1_{i}"
+                )(merged)
+            )
+        return fused
