@@ -1,0 +1,108 @@
+"""Benchmark: full Mono-ViFI fused training-step throughput on one TPU chip.
+
+Measures the flagship config (reference configs/resnet18/ResNet18_KITTI_MR.txt:
+ResNet18, 640x192, batch 10, affine augmentation on) — the same per-step work
+as reference train.py:698-886 (2x IFRNet-L synthesis + flows, 6 pose pairs,
+single+multi-frame depth branches, photometric/SVDC/SADC losses, backward,
+AdamW update) — and prints one JSON line.
+
+vs_baseline compares against an estimated PyTorch reference throughput of
+20 samples/s (≈2 steps/s x batch 10 on a V100-class GPU; the repo publishes
+no throughput numbers — see BASELINE.md. Regenerate when reference hardware
+is available). BASELINE.json's target is >=5x per chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 20.0  # estimated PyTorch-GPU reference (see above)
+
+
+def make_batch(B, H, W):
+    rng = np.random.default_rng(0)
+
+    def r(*shape):
+        return rng.random(shape, dtype=np.float32)
+
+    K = np.zeros((B, 4, 4), np.float32)
+    K[:, 0, 0], K[:, 1, 1] = 0.58 * W, 1.92 * H
+    K[:, 0, 2], K[:, 1, 2] = 0.5 * W, 0.5 * H
+    K[:, 2, 2] = K[:, 3, 3] = 1
+    w_box, h_box = round(W / 1.5), round(H / 1.5)
+    return {
+        "color_n1": r(B, H, W, 3),
+        "color_0": r(B, H, W, 3),
+        "color_p1": r(B, H, W, 3),
+        "color_aug_n1": r(B, H, W, 3),
+        "color_aug_0": r(B, H, W, 3),
+        "color_aug_p1": r(B, H, W, 3),
+        "K": K,
+        "inv_K": np.linalg.pinv(K).astype(np.float32),
+        "color_affine_n1": r(B, H, W, 3),
+        "color_affine_0": r(B, H, W, 3),
+        "color_affine_p1": r(B, H, W, 3),
+        "color_affine_aug_0": r(B, H, W, 3),
+        "Rc": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+        "ratio_local": np.full((B, 1), 1.5, np.float32),
+        "angle": np.full((B,), 3.0, np.float32),
+        "box": np.tile(np.array([2, 1, w_box, h_box], np.float32), (B, 1)),
+        "valid_mask_rec": np.ones((B, H, W, 1), np.float32),
+        "valid_mask_cons": np.ones((B, H, W, 1), np.float32),
+    }
+
+
+def main():
+    import jax
+
+    from mono_vifi_tpu.config import Options
+    from mono_vifi_tpu.training import monovifi
+    from mono_vifi_tpu.training.monovifi import MonoViFiStep
+
+    B, H, W = 10, 192, 640
+    cfg = Options(
+        height=H,
+        width=W,
+        batch_size=B,
+        use_affine=True,
+        compute_dtype="bfloat16",
+        fuse_model_type="shared_encoder",
+    )
+    bundle, tx, state = monovifi.create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=3981
+    )
+    vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
+    batch = jax.device_put(make_batch(B, H, W))
+    step = jax.jit(MonoViFiStep(bundle, tx).make_train_step(), donate_argnums=0)
+
+    rng = jax.random.PRNGKey(2)
+    # warmup / compile (host-materialize the loss: a real device sync even on
+    # experimental platforms where block_until_ready may return early)
+    for i in range(2):
+        state, metrics = step(state, vfi_params, batch, jax.random.fold_in(rng, i))
+    float(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, vfi_params, batch, jax.random.fold_in(rng, i))
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+
+    samples_per_sec = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "monovifi_train_samples_per_sec_640x192_bs10_1chip",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

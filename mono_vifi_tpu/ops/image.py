@@ -88,10 +88,10 @@ def avg_pool_3x3(x: jax.Array) -> jax.Array:
 
 def max_pool_3x3_s2_p1(x: jax.Array) -> jax.Array:
     """MaxPool2d(kernel=3, stride=2, padding=1), torch semantics (NHWC)."""
-    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    # init must be a literal scalar so autodiff recognizes the max monoid
     return jax.lax.reduce_window(
         x,
-        neg_inf,
+        -jnp.inf,
         jax.lax.max,
         (1, 3, 3, 1),
         (1, 2, 2, 1),

@@ -85,7 +85,9 @@ def grid_sample(
     y0c = jnp.clip(y0, 0, H - 1)
     y1c = jnp.clip(y1, 0, H - 1)
 
-    flat = img.reshape(B, H * W, C)
+    # gather in the promoted dtype so the scatter-add adjoint's updates match
+    # the operand dtype (avoids f32->bf16 scatter promotion errors)
+    flat = img.reshape(B, H * W, C).astype(compute_dtype)
 
     def gather(yi, xi):
         idx = (yi * W + xi).reshape(B, Ho * Wo, 1)

@@ -1,0 +1,126 @@
+"""Checkpointing with the reference's schema (train.py:1108-1176).
+
+A checkpoint is a dict keyed by model role (encoder / depth / depth_mf /
+encoder_mf / fusion_module / pose_encoder / pose) plus height/width/
+use_stereo, epoch / batch_idx / step_in_total, and optimizer state — saved as
+a pickle of numpy pytrees (`ckpt.pkl`, plus per-epoch weight-only snapshots
+`models/model_{ep}.pkl`). Mid-epoch saves every save_frequency batches give
+step-granular resume together with the stateful sampler.
+
+Reference-format .pth checkpoints (released weights) are loaded through
+mono_vifi_tpu.convert; loading is key-intersection tolerant like the
+reference (train.py:1149-1154).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import numpy as np
+import jax
+
+
+def _to_np(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    cfg,
+    epoch: int,
+    batch_idx: int = 0,
+    extra: dict | None = None,
+):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": _to_np(state.params),
+        "batch_stats": _to_np(state.batch_stats),
+        "opt_state": _to_np(state.opt_state),
+        "height": cfg.height,
+        "width": cfg.width,
+        "use_stereo": cfg.use_stereo,
+        "epoch": epoch,
+        "batch_idx": batch_idx,
+        "step_in_total": int(state.step),
+    }
+    if extra:
+        payload.update(extra)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def save_weights(path: str, params, cfg, extra: dict | None = None):
+    """Per-epoch weight-only snapshot (reference models/model_{ep}.pth)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": _to_np(params),
+        "height": cfg.height,
+        "width": cfg.width,
+        "use_stereo": cfg.use_stereo,
+    }
+    if extra:
+        payload.update(extra)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def merge_params(target: Any, loaded: Any):
+    """Key-intersection merge (missing keys keep the init values), matching
+    reference load_ckpt tolerance (train.py:1149-1154)."""
+    if isinstance(target, dict) and isinstance(loaded, dict):
+        out = {}
+        for k, v in target.items():
+            out[k] = merge_params(v, loaded[k]) if k in loaded else v
+        return out
+    if loaded is None:
+        return target
+    loaded = np.asarray(loaded)
+    if hasattr(target, "shape") and tuple(target.shape) != tuple(loaded.shape):
+        return target
+    return loaded
+
+
+def load_reference_pth(path: str, cfg, num_levels: int = 5) -> dict:
+    """Convert a reference .pth checkpoint dict into our params trees."""
+    from mono_vifi_tpu import convert
+
+    ckpt = convert.load_torch_checkpoint(path)
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(role, converted):
+        params[role] = converted["params"]
+        if converted["batch_stats"]:
+            batch_stats[role] = converted["batch_stats"]
+
+    nl = 18 if cfg.backbone == "ResNet18" else 50
+    if "encoder" in ckpt:
+        put("encoder", convert.convert_depth_encoder(ckpt["encoder"], nl))
+    if "depth" in ckpt:
+        put("depth", convert.convert_depth_decoder(ckpt["depth"], scales=(0,)))
+    if "encoder_mf" in ckpt:
+        put("encoder_mf", convert.convert_depth_encoder(ckpt["encoder_mf"], nl))
+    if "depth_mf" in ckpt:
+        put("depth_mf", convert.convert_depth_decoder(ckpt["depth_mf"], scales=(0,)))
+    if "fusion_module" in ckpt:
+        put(
+            "fusion_module",
+            convert.convert_fusion_module(ckpt["fusion_module"], num_levels),
+        )
+    if "pose_encoder" in ckpt:
+        put("pose_encoder", convert.convert_pose_encoder(ckpt["pose_encoder"], 18))
+    if "pose" in ckpt:
+        put("pose", convert.convert_pose_decoder(ckpt["pose"]))
+    if "VFI" in ckpt:
+        put("VFI", convert.convert_ifrnet(ckpt["VFI"]))
+    return {"params": params, "batch_stats": batch_stats, "raw": ckpt}

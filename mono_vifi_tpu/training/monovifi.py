@@ -1,0 +1,450 @@
+"""The fused Mono-ViFI training step: one jitted XLA program per step.
+
+Re-designs reference train.py:698-941 (process_batch + losses) TPU-first:
+the reference's ~17 sequential module forwards per step become a handful of
+large batched calls so the MXU sees big convolutions:
+
+  - 3 frozen IFRNet-L passes          -> 1 pass over 3B (pairs stacked)
+  - 6 PoseNet passes                  -> 1 pass over 6B
+  - 5-8 depth-encoder passes          -> 1 pass over (5|8)B
+  - 3-6 depth-decoder passes          -> 1 pass
+  - 3 fusion + 3 depth_mf passes      -> 1 + 1 over 3B
+  - 12 photometric warps + losses     -> batched over 6B targets
+  - per-sample affine rotate/crop loops (train.py:888-922) -> batched warps
+
+Loss semantics match the reference exactly (photometric SSIM+L1 with
+automasking and tie-break noise, edge-aware smoothness, SVDC/SADC SI-log
+consistency, loss = loss_base + lamda * loss_dc); sums of per-call means
+become (count x batched mean), which is algebraically identical. The one
+deliberate deviation: BatchNorm batch statistics are computed over the
+*combined* batch of a fused call instead of per-sub-forward (better
+statistics, SyncBN-equivalent across devices under pjit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+
+from mono_vifi_tpu.config import Options
+from mono_vifi_tpu.training.factory import ModelBundle
+from mono_vifi_tpu.ops import geometry, sampling
+from mono_vifi_tpu.ops import image as image_ops
+from mono_vifi_tpu.ops import losses as L
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def _tile(x, n):
+    return jnp.concatenate([x] * n, axis=0)
+
+
+class MonoViFiStep:
+    """Builds the jitted train step for a ModelBundle."""
+
+    def __init__(self, bundle: ModelBundle, tx: optax.GradientTransformation):
+        self.b = bundle
+        self.cfg = bundle.cfg
+        self.tx = tx
+
+    # -------------------------------------------------------------- helpers
+    def _apply_encoder(self, params, bstats, role, x, train):
+        module = self.b.encoder
+        variables = {"params": params[role], "batch_stats": bstats[role]}
+        if train:
+            feats, mut = module.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return feats, mut["batch_stats"]
+        return module.apply(variables, x, train=False), bstats[role]
+
+    def _depth_params(self, params, multi_frame):
+        if multi_frame:
+            return params.get("depth_mf", params["depth"])
+        return params["depth"]
+
+    def _encoder_role(self, multi_frame):
+        if multi_frame and self.cfg.fuse_model_type == "separate_all":
+            return "encoder_mf"
+        return "encoder"
+
+    def _photometric(self, disp, tgt, src_n1, src_p1, T_n1, T_p1, K, invK, rng,
+                     mask_rec=None):
+        """Batched compute_losses_base (reference train.py:987-1051).
+
+        All args stacked along batch; returns scalar mean over the stack.
+        """
+        cfg = self.cfg
+        disp = _f32(disp)
+        _, depth = geometry.disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+        grid_n1 = geometry.reprojection_grid(depth, K, invK, T_n1)
+        grid_p1 = geometry.reprojection_grid(depth, K, invK, T_p1)
+        pred_n1 = sampling.grid_sample(src_n1, grid_n1)
+        pred_p1 = sampling.grid_sample(src_p1, grid_p1)
+
+        use_ssim = not cfg.no_ssim
+        reproj = jnp.concatenate(
+            [
+                L.reprojection_loss(pred_n1, tgt, use_ssim),
+                L.reprojection_loss(pred_p1, tgt, use_ssim),
+            ],
+            axis=-1,
+        )
+        if cfg.avg_reprojection:
+            reproj = jnp.mean(reproj, axis=-1, keepdims=True)
+
+        if not cfg.disable_automasking:
+            ident = jnp.concatenate(
+                [
+                    L.reprojection_loss(src_n1, tgt, use_ssim),
+                    L.reprojection_loss(src_p1, tgt, use_ssim),
+                ],
+                axis=-1,
+            )
+            if cfg.avg_reprojection:
+                ident = jnp.mean(ident, axis=-1, keepdims=True)
+            ident = ident + jax.random.normal(rng, ident.shape) * 1e-5
+            combined = jnp.concatenate([ident, reproj], axis=-1)
+        else:
+            combined = reproj
+
+        to_opt = jnp.min(combined, axis=-1) if combined.shape[-1] > 1 else combined[..., 0]
+        if mask_rec is not None:
+            to_opt = to_opt * mask_rec[..., 0]
+        loss = jnp.mean(to_opt)
+
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        norm_disp = disp / (mean_disp + 1e-7)
+        loss = loss + cfg.disparity_smoothness * L.smooth_loss(norm_disp, tgt)
+        return loss
+
+    # ------------------------------------------------------------ the loss
+    def loss_fn(self, params, batch_stats, vfi_params, batch, rng, train=True):
+        cfg = self.cfg
+        b = self.b
+        B = batch["color_0"].shape[0]
+        rng_n1, rng_n2 = jax.random.split(rng)
+
+        img_n1, img_0, img_p1 = batch["color_n1"], batch["color_0"], batch["color_p1"]
+        aug_n1, aug_0, aug_p1 = (
+            batch["color_aug_n1"],
+            batch["color_aug_0"],
+            batch["color_aug_p1"],
+        )
+        K, invK = batch["K"], batch["inv_K"]
+        new_bstats = dict(batch_stats)
+
+        # ---- frozen VFI-L: 3 pairs in one pass (reference train.py:715-718)
+        embt3 = jnp.full((3 * B, 1, 1, 1), 0.5, jnp.float32)
+        vfi_out = b.vfi_train.apply(
+            {"params": vfi_params},
+            jnp.concatenate([img_n1, img_0, img_n1], 0),
+            jnp.concatenate([img_0, img_p1, img_p1], 0),
+            embt3,
+        )
+        vfi_out = jax.lax.stop_gradient(vfi_out)
+        pred = _f32(vfi_out["imgt_pred"])
+        fl0, fl1 = _f32(vfi_out["flow0"]), _f32(vfi_out["flow1"])
+        msk = _f32(vfi_out["mask"])
+        img_nt, img_pt = pred[:B], pred[B : 2 * B]
+        flow_nt_n1, flow_nt_0 = fl0[:B], fl1[:B]
+        flow_pt_0, flow_pt_p1 = fl0[B : 2 * B], fl1[B : 2 * B]
+        flow_0_n1, flow_0_p1 = fl0[2 * B :], fl1[2 * B :]
+        mask_nt, mask_pt, mask_01 = msk[:B], msk[B : 2 * B], msk[2 * B :]
+
+        # ---- 6 pose pairs in one pass (reference train.py:728-733, :943-954)
+        pose_pairs = [
+            (aug_n1, aug_0),  # -> inv = T_0_n1
+            (aug_0, aug_p1),  # -> fwd = T_0_p1
+            (img_n1, img_nt),  # -> inv = T_nt_n1
+            (img_nt, img_p1),  # -> fwd = T_nt_p1
+            (img_n1, img_pt),  # -> inv = T_pt_n1
+            (img_pt, img_p1),  # -> fwd = T_pt_p1
+        ]
+        pose_in = jnp.concatenate(
+            [jnp.concatenate([a, c], -1) for a, c in pose_pairs], 0
+        )
+        pe_vars = {
+            "params": params["pose_encoder"],
+            "batch_stats": batch_stats["pose_encoder"],
+        }
+        if train:
+            pfeats, mut = b.pose_encoder.apply(
+                pe_vars, pose_in, train=True, mutable=["batch_stats"]
+            )
+            new_bstats["pose_encoder"] = mut["batch_stats"]
+        else:
+            pfeats = b.pose_encoder.apply(pe_vars, pose_in, train=False)
+        aa, tr = b.pose.apply({"params": params["pose"]}, _f32(pfeats[-1]))
+        aa0, tr0 = aa[:, 0, 0], tr[:, 0, 0]  # (6B, 3)
+        fwd = geometry.transformation_from_parameters(aa0, tr0, False)
+        inv = geometry.transformation_from_parameters(aa0, tr0, True)
+        T_0_n1, T_0_p1 = inv[:B], fwd[B : 2 * B]
+        T_nt_n1, T_nt_p1 = inv[2 * B : 3 * B], fwd[3 * B : 4 * B]
+        T_pt_n1, T_pt_p1 = inv[4 * B : 5 * B], fwd[5 * B : 6 * B]
+
+        # ---- affine inputs (batched warps replacing train.py:888-902)
+        if cfg.use_affine:
+            angle, box = batch["angle"], batch["box"]
+            aff_aug_0 = batch["color_affine_aug_0"]
+            img_nt_aff = image_ops.batched_crop_resize(
+                image_ops.rotate_bilinear(img_nt, angle), box
+            )
+            img_pt_aff = image_ops.batched_crop_resize(
+                image_ops.rotate_bilinear(img_pt, angle), box
+            )
+
+        # ---- depth encoder: single fused pass
+        sf_inputs = [aug_0, img_nt, img_pt]
+        if cfg.use_affine:
+            sf_inputs += [aff_aug_0, img_nt_aff, img_pt_aff]
+        if cfg.fuse_model_type == "separate_all":
+            feats_sf, new_bstats["encoder"] = self._apply_encoder(
+                params, batch_stats, "encoder", jnp.concatenate(sf_inputs, 0), train
+            )
+            mf_in = jnp.concatenate([aug_0, img_nt, img_pt, aug_n1, aug_p1], 0)
+            feats_mf_all, new_bstats["encoder_mf"] = self._apply_encoder(
+                params, batch_stats, "encoder_mf", mf_in, train
+            )
+            feats_mf = [
+                [f[i * B : (i + 1) * B] for f in feats_mf_all] for i in range(5)
+            ]
+            f0_mf, fnt_mf, fpt_mf, fn1_mf, fp1_mf = feats_mf
+        else:
+            all_in = jnp.concatenate(sf_inputs + [aug_n1, aug_p1], 0)
+            feats_all, new_bstats["encoder"] = self._apply_encoder(
+                params, batch_stats, "encoder", all_in, train
+            )
+            n_sf = len(sf_inputs)
+            feats_sf = [f[: n_sf * B] for f in feats_all]
+            fn1_mf = [f[n_sf * B : (n_sf + 1) * B] for f in feats_all]
+            fp1_mf = [f[(n_sf + 1) * B :] for f in feats_all]
+            f0_mf = [f[:B] for f in feats_all]
+            fnt_mf = [f[B : 2 * B] for f in feats_all]
+            fpt_mf = [f[2 * B : 3 * B] for f in feats_all]
+
+        # ---- single-frame disparities (one decoder pass)
+        disp_sf = b.depth.apply({"params": params["depth"]}, feats_sf)[0]
+        disp_sf = _f32(disp_sf)
+        disp_0, disp_nt, disp_pt = disp_sf[:B], disp_sf[B : 2 * B], disp_sf[2 * B : 3 * B]
+        if cfg.use_affine:
+            disp_0_aff = disp_sf[3 * B : 4 * B]
+            disp_nt_aff = disp_sf[4 * B : 5 * B]
+            disp_pt_aff = disp_sf[5 * B : 6 * B]
+
+        def to_depth(d):
+            return geometry.disp_to_depth(d, cfg.min_depth, cfg.max_depth)[1]
+
+        # ---- multi-frame: 3 fusion triplets in one pass (train.py:762-789)
+        prev_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
+                      zip(fn1_mf, fn1_mf, f0_mf)]
+        center_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
+                        zip(f0_mf, fnt_mf, fpt_mf)]
+        next_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
+                      zip(fp1_mf, f0_mf, fp1_mf)]
+        flow_prev = jnp.concatenate([flow_0_n1, flow_nt_n1, flow_pt_0], 0)
+        flow_next = jnp.concatenate([flow_0_p1, flow_nt_0, flow_pt_p1], 0)
+        mask3 = jnp.concatenate([mask_01, mask_nt, mask_pt], 0)
+        fused = b.fusion_module.apply(
+            {"params": params["fusion_module"]},
+            [prev_feats, center_feats, next_feats],
+            (flow_prev, flow_next),
+            mask3,
+        )
+        disp_fuse = _f32(
+            b.depth.apply({"params": self._depth_params(params, True)}, fused)[0]
+        )
+        disp_0_fuse = disp_fuse[:B]
+        disp_nt_fuse = disp_fuse[B : 2 * B]
+        disp_pt_fuse = disp_fuse[2 * B :]
+
+        # ---- photometric losses over 6 stacked targets (train.py:746-812)
+        disp_stack = jnp.concatenate(
+            [disp_0, disp_pt, disp_nt, disp_0_fuse, disp_nt_fuse, disp_pt_fuse], 0
+        )
+        tgt_stack = jnp.concatenate([img_0, img_pt, img_nt, img_0, img_nt, img_pt], 0)
+        Tn1_stack = jnp.concatenate(
+            [T_0_n1, T_pt_n1, T_nt_n1, T_0_n1, T_nt_n1, T_pt_n1], 0
+        )
+        Tp1_stack = jnp.concatenate(
+            [T_0_p1, T_pt_p1, T_nt_p1, T_0_p1, T_nt_p1, T_pt_p1], 0
+        )
+        loss_base = 6.0 * self._photometric(
+            disp_stack,
+            tgt_stack,
+            _tile(img_n1, 6),
+            _tile(img_p1, 6),
+            Tn1_stack,
+            Tp1_stack,
+            _tile(K, 6),
+            _tile(invK, 6),
+            rng_n1,
+        )
+
+        # ---- SVDC: single <-> fused SI-log consistency (train.py:797-812)
+        depth_single3 = to_depth(jnp.concatenate([disp_0, disp_nt, disp_pt], 0))
+        depth_fuse3 = to_depth(
+            jnp.concatenate([disp_0_fuse, disp_nt_fuse, disp_pt_fuse], 0)
+        )
+        loss_dc = 3.0 * L.si_log_depth_loss(depth_single3, depth_fuse3)
+
+        # ---- affine branch (train.py:814-922)
+        if cfg.use_affine:
+            Rc = batch["Rc"]
+            mask_rec = batch["valid_mask_rec"]
+            mask_cons = batch["valid_mask_cons"]
+            img_n1_aff = batch["color_affine_n1"]
+            img_0_aff = batch["color_affine_0"]
+            img_p1_aff = batch["color_affine_p1"]
+
+            T6 = jnp.concatenate(
+                [T_0_n1, T_pt_n1, T_nt_n1, T_0_p1, T_pt_p1, T_nt_p1], 0
+            )
+            T6_aff = geometry.conjugate_pose(T6, _tile(Rc, 6))
+            Tn1_aff = T6_aff[: 3 * B]  # order: (0, pt, nt)
+            Tp1_aff = T6_aff[3 * B :]
+
+            disp_aff_stack = jnp.concatenate(
+                [disp_0_aff, disp_pt_aff, disp_nt_aff], 0
+            )
+            tgt_aff_stack = jnp.concatenate([img_0_aff, img_pt_aff, img_nt_aff], 0)
+            loss_base = loss_base + 3.0 * self._photometric(
+                disp_aff_stack,
+                tgt_aff_stack,
+                _tile(img_n1_aff, 3),
+                _tile(img_p1_aff, 3),
+                Tn1_aff,
+                Tp1_aff,
+                _tile(K, 3),
+                _tile(invK, 3),
+                rng_n2,
+                mask_rec=_tile(mask_rec, 3),
+            )
+
+            # SADC: restore the affine depths and compare (train.py:904-922)
+            depth_aff3 = to_depth(disp_aff_stack)
+            placed = image_ops.batched_place_resize(depth_aff3, _tile(box, 3))
+            restored = image_ops.rotate_bilinear(placed, -_tile(angle, 3))
+            ratio = batch["ratio_local"].reshape(B, 1, 1, 1)
+            restored = restored * _tile(ratio, 3)
+            depth_single3o = to_depth(
+                jnp.concatenate([disp_0, disp_pt, disp_nt], 0)
+            )
+            depth_fuse3o = to_depth(
+                jnp.concatenate([disp_0_fuse, disp_pt_fuse, disp_nt_fuse], 0)
+            )
+            mc3 = _tile(mask_cons, 3)
+            loss_dc = loss_dc + 3.0 * (
+                L.si_log_depth_loss(restored, depth_fuse3o, mc3)
+                + L.si_log_depth_loss(restored, depth_single3o, mc3)
+            )
+
+        loss = loss_base + cfg.lamda * loss_dc
+        metrics = {"loss": loss, "loss_base": loss_base, "loss_dc": loss_dc}
+        return loss, (new_bstats, metrics)
+
+    # ------------------------------------------------------------ train step
+    def make_train_step(self):
+        def train_step(state: TrainState, vfi_params, batch, rng):
+            def lf(p):
+                return self.loss_fn(
+                    p, state.batch_stats, vfi_params, batch, rng, train=True
+                )
+
+            (loss, (bstats, metrics)), grads = jax.value_and_grad(lf, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                TrainState(
+                    step=state.step + 1,
+                    params=params,
+                    batch_stats=bstats,
+                    opt_state=opt_state,
+                ),
+                metrics,
+            )
+
+        return train_step
+
+
+def create_train_state(cfg: Options, rng, steps_per_epoch: int = 1000):
+    """Build models, init params, and assemble optimizer + TrainState."""
+    from mono_vifi_tpu.training.optim import make_optimizer
+
+    bundle = ModelBundle(cfg)
+    params, bstats = bundle.init_variables(rng)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=bstats,
+        opt_state=tx.init(params),
+    )
+    return bundle, tx, state
+
+
+# -------------------------------------------------------------- eval forward
+def single_frame_disp(bundle: ModelBundle, params, batch_stats, img):
+    """Eval-mode disparity for one image batch (evaluate_depth.py pipeline)."""
+    feats = bundle.encoder.apply(
+        {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
+        img,
+        train=False,
+    )
+    return _f32(bundle.depth.apply({"params": params["depth"]}, feats)[0])
+
+
+def multi_frame_disp(
+    bundle: ModelBundle, params, batch_stats, vfi_small_params,
+    img_n1, img_0, img_p1,
+):
+    """Eval-mode fused disparity (evaluate_depth_mf.py:179-188): small-VFI
+    flows (onlyFlow) -> 3x encoder -> fusion -> depth_mf."""
+    B = img_0.shape[0]
+    embt = jnp.full((B, 1, 1, 1), 0.5, jnp.float32)
+    flows = bundle.vfi_test.apply(
+        {"params": vfi_small_params}, img_n1, img_p1, embt, only_flow=True
+    )
+    enc_role = (
+        "encoder_mf"
+        if (
+            bundle.cfg.fuse_model_type == "separate_all" and "encoder_mf" in params
+        )
+        else "encoder"
+    )
+    enc_vars = {
+        "params": params[enc_role],
+        "batch_stats": batch_stats.get(enc_role, batch_stats["encoder"]),
+    }
+    feats = bundle.encoder.apply(
+        enc_vars, jnp.concatenate([img_n1, img_0, img_p1], 0), train=False
+    )
+    f_n1 = [f[:B] for f in feats]
+    f_0 = [f[B : 2 * B] for f in feats]
+    f_p1 = [f[2 * B :] for f in feats]
+    fused = bundle.fusion_module.apply(
+        {"params": params["fusion_module"]},
+        [f_n1, f_0, f_p1],
+        (_f32(flows["flow0"]), _f32(flows["flow1"])),
+        _f32(flows["mask"]),
+    )
+    dp = params.get("depth_mf", params["depth"])
+    return _f32(bundle.depth.apply({"params": dp}, fused)[0])

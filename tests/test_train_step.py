@@ -1,0 +1,147 @@
+"""End-to-end train-step tests: the full fused Mono-ViFI step runs under jit,
+produces finite losses/grads, updates params, and executes sharded over a
+virtual 8-device data mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mono_vifi_tpu.config import Options
+from mono_vifi_tpu.training import monovifi
+from mono_vifi_tpu.training.monovifi import MonoViFiStep
+
+RNG = np.random.default_rng(3)
+
+
+def rand(*shape, lo=0.0, hi=1.0):
+    return (lo + (hi - lo) * RNG.random(shape)).astype(np.float32)
+
+
+def make_batch(B, H, W, use_affine=True):
+    K = np.zeros((B, 4, 4), np.float32)
+    K[:, 0, 0], K[:, 1, 1] = 0.58 * W, 1.92 * H
+    K[:, 0, 2], K[:, 1, 2] = 0.5 * W, 0.5 * H
+    K[:, 2, 2] = K[:, 3, 3] = 1
+    batch = {
+        "color_n1": rand(B, H, W, 3),
+        "color_0": rand(B, H, W, 3),
+        "color_p1": rand(B, H, W, 3),
+        "color_aug_n1": rand(B, H, W, 3),
+        "color_aug_0": rand(B, H, W, 3),
+        "color_aug_p1": rand(B, H, W, 3),
+        "K": K,
+        "inv_K": np.linalg.pinv(K).astype(np.float32),
+    }
+    if use_affine:
+        ratio = 1.5
+        w, h = round(W / ratio), round(H / ratio)
+        batch.update(
+            {
+                "color_affine_n1": rand(B, H, W, 3),
+                "color_affine_0": rand(B, H, W, 3),
+                "color_affine_p1": rand(B, H, W, 3),
+                "color_affine_aug_0": rand(B, H, W, 3),
+                "Rc": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+                "ratio_local": np.full((B, 1), ratio, np.float32),
+                "angle": np.full((B,), 3.0, np.float32),
+                "box": np.tile(
+                    np.array([2, 1, w, h], np.float32), (B, 1)
+                ),
+                "valid_mask_rec": np.ones((B, H, W, 1), np.float32),
+                "valid_mask_cons": np.ones((B, H, W, 1), np.float32),
+            }
+        )
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Options(
+        height=64,
+        width=96,
+        batch_size=2,
+        use_affine=True,
+        compute_dtype="float32",
+        fuse_model_type="shared_encoder",
+    )
+    rng = jax.random.PRNGKey(0)
+    bundle, tx, state = monovifi.create_train_state(cfg, rng, steps_per_epoch=10)
+    vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
+    return cfg, bundle, tx, state, vfi_params
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, bundle, tx, state, vfi_params = setup
+    step = jax.jit(MonoViFiStep(bundle, tx).make_train_step())
+    batch = make_batch(2, cfg.height, cfg.width)
+
+    state1, metrics = step(state, vfi_params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_base"]))
+    assert np.isfinite(float(metrics["loss_dc"]))
+    assert float(metrics["grad_norm"]) > 0
+
+    # params actually moved
+    d0 = jax.tree.leaves(state.params["depth"])[0]
+    d1 = jax.tree.leaves(state1.params["depth"])[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+    # depth_mf moved independently of depth (shared_encoder mode)
+    m0 = jax.tree.leaves(state.params["depth_mf"])[0]
+    m1 = jax.tree.leaves(state1.params["depth_mf"])[0]
+    assert not np.allclose(np.asarray(m0), np.asarray(m1))
+
+    # second step runs off the first's state
+    state2, metrics2 = step(state1, vfi_params, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert int(state2.step) == 2
+
+
+def test_eval_forwards(setup):
+    cfg, bundle, tx, state, vfi_params = setup
+    vfi_small = bundle.init_vfi(jax.random.PRNGKey(4), "test")
+    img = jnp.asarray(rand(2, cfg.height, cfg.width, 3))
+    disp = monovifi.single_frame_disp(bundle, state.params, state.batch_stats, img)
+    assert disp.shape == (2, cfg.height, cfg.width, 1)
+    assert np.isfinite(np.asarray(disp)).all()
+
+    disp_mf = monovifi.multi_frame_disp(
+        bundle, state.params, state.batch_stats, vfi_small, img, img, img
+    )
+    assert disp_mf.shape == (2, cfg.height, cfg.width, 1)
+    assert np.isfinite(np.asarray(disp_mf)).all()
+
+
+def test_train_step_sharded_8_devices():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert len(jax.devices()) == 8
+    cfg = Options(
+        height=64,
+        width=64,
+        batch_size=8,
+        use_affine=False,
+        compute_dtype="float32",
+        fuse_model_type="shared_encoder",
+    )
+    bundle, tx, state = monovifi.create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+
+    batch = make_batch(8, cfg.height, cfg.width, use_affine=False)
+    batch = jax.device_put(batch, data_sharding)
+    state = jax.device_put(state, replicated)
+    vfi_params = jax.device_put(vfi_params, replicated)
+
+    step = jax.jit(MonoViFiStep(bundle, tx).make_train_step())
+    state1, metrics = step(state, vfi_params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # grads are averaged across the mesh -> params identical (replicated)
+    leaf = jax.tree.leaves(state1.params["depth"])[0]
+    assert np.isfinite(np.asarray(leaf)).all()
