@@ -172,6 +172,193 @@ def convert_fusion_module(sd: Mapping[str, Any], num_levels: int = 5):
     return b.done()
 
 
+def linear_kernel(w) -> np.ndarray:
+    """torch Linear (out, in) -> flax Dense kernel (in, out)."""
+    return _t(w).T
+
+
+def _vector(b: _TreeBuilder, sd, torch_key: str, flax_path: str):
+    b._set(b.params, flax_path, _t(sd[torch_key]))
+
+
+def _layernorm(b: _TreeBuilder, sd, tp: str, fp: str):
+    b._set(b.params, f"{fp}/scale", _t(sd[f"{tp}.weight"]))
+    b._set(b.params, f"{fp}/bias", _t(sd[f"{tp}.bias"]))
+
+
+def _dense(b: _TreeBuilder, sd, tp: str, fp: str):
+    b._set(b.params, f"{fp}/kernel", linear_kernel(sd[f"{tp}.weight"]))
+    if f"{tp}.bias" in sd:
+        b._set(b.params, f"{fp}/bias", _t(sd[f"{tp}.bias"]))
+
+
+# ------------------------------------------------------------------ LiteMono
+
+_LITEMONO_DEPTH = {"lite-mono": (4, 4, 10), "lite-mono-small": (4, 4, 7),
+                   "lite-mono-tiny": (4, 4, 7), "lite-mono-8m": (4, 4, 10)}
+
+
+def convert_litemono_encoder(sd: Mapping[str, Any], model: str = "lite-mono"):
+    """LiteMono encoder (networks/LiteMono.py:296-444): stem convs,
+    downsample layers, CDC (DilatedConv) and LGFI blocks."""
+    b = _TreeBuilder()
+    for k in range(3):
+        b.conv(sd, f"downsample_layers.0.{k}.conv", f"stem1_{k}/conv", bias=False)
+        b.bn(sd, f"downsample_layers.0.{k}.bn_gelu.bn", f"stem1_{k}/bn")
+    b.conv(sd, "stem2.0.conv", "stem2/conv", bias=False)
+    for i in (1, 2):
+        b.conv(sd, f"downsample_layers.{i}.0.conv", f"downsample{i}/conv", bias=False)
+
+    depth = _LITEMONO_DEPTH[model]
+    for i in range(3):
+        for j in range(depth[i]):
+            tp = f"stages.{i}.{j}"
+            fp = f"stage{i}_{j}"
+            if f"{tp}.ddwconv.conv.weight" in sd:  # DilatedConv block
+                b.conv(sd, f"{tp}.ddwconv.conv", f"{fp}/ddwconv", bias=False)
+                b.bn(sd, f"{tp}.bn1", f"{fp}/bn1")
+                _layernorm(b, sd, f"{tp}.norm", f"{fp}/mlp/norm")
+                _dense(b, sd, f"{tp}.pwconv1", f"{fp}/mlp/pwconv1")
+                _dense(b, sd, f"{tp}.pwconv2", f"{fp}/mlp/pwconv2")
+                _vector(b, sd, f"{tp}.gamma", f"{fp}/mlp/gamma")
+            else:  # LGFI block
+                if f"{tp}.pos_embd.token_projection.weight" in sd:
+                    w = _t(sd[f"{tp}.pos_embd.token_projection.weight"])  # (C,64,1,1)
+                    b._set(b.params, f"{fp}/pos_proj/kernel", w[:, :, 0, 0].T)
+                    b._set(
+                        b.params, f"{fp}/pos_proj/bias",
+                        _t(sd[f"{tp}.pos_embd.token_projection.bias"]),
+                    )
+                _layernorm(b, sd, f"{tp}.norm_xca", f"{fp}/norm_xca")
+                _vector(b, sd, f"{tp}.gamma_xca", f"{fp}/gamma_xca")
+                _vector(b, sd, f"{tp}.xca.temperature", f"{fp}/xca/temperature")
+                _dense(b, sd, f"{tp}.xca.qkv", f"{fp}/xca/qkv")
+                _dense(b, sd, f"{tp}.xca.proj", f"{fp}/xca/proj")
+                _layernorm(b, sd, f"{tp}.norm", f"{fp}/mlp/norm")
+                _dense(b, sd, f"{tp}.pwconv1", f"{fp}/mlp/pwconv1")
+                _dense(b, sd, f"{tp}.pwconv2", f"{fp}/mlp/pwconv2")
+                _vector(b, sd, f"{tp}.gamma", f"{fp}/mlp/gamma")
+    return b.done()
+
+
+def convert_litemono_decoder(sd: Mapping[str, Any], scales=(0,)):
+    """LiteMono decoder: ModuleList order upconv(2,0)..upconv(0,1), dispconvs
+    (networks/LiteMono.py:460-478)."""
+    b = _TreeBuilder()
+    idx = 0
+    for i in range(2, -1, -1):
+        for j in (0, 1):
+            b.conv(sd, f"decoder.{idx}.conv.conv", f"upconv_{i}_{j}/conv/conv")
+            idx += 1
+    for s in scales:
+        b.conv(sd, f"decoder.{idx}.conv", f"dispconv_{s}/conv")
+        idx += 1
+    return b.done()
+
+
+# --------------------------------------------------------------------- HRNet
+
+_HRNET_STAGES = {  # (num_modules, num_branches, blocks)
+    "hrnet18": ((1, 2, 4), (4, 3, 4), (3, 4, 4)),
+}
+
+
+def convert_hrnet(sd: Mapping[str, Any], prefix: str = "encoder.",
+                  arch: str = "hrnet18"):
+    """HRNet trunk (networks/hrnet_encoder.py:294-498)."""
+    b = _TreeBuilder()
+    fp0 = "encoder/"
+    b.conv(sd, f"{prefix}conv1", f"{fp0}conv1", bias=False)
+    b.bn(sd, f"{prefix}bn1", f"{fp0}bn1")
+    b.conv(sd, f"{prefix}conv2", f"{fp0}conv2", bias=False)
+    b.bn(sd, f"{prefix}bn2", f"{fp0}bn2")
+
+    # stage 1 bottlenecks
+    for k in range(4):
+        tp = f"{prefix}layer1.{k}."
+        fp = f"{fp0}layer1_{k}/"
+        for ci in (1, 2, 3):
+            b.conv(sd, f"{tp}conv{ci}", f"{fp}conv{ci}", bias=False)
+            b.bn(sd, f"{tp}bn{ci}", f"{fp}bn{ci}")
+        if f"{tp}downsample.0.weight" in sd:
+            b.conv(sd, f"{tp}downsample.0", f"{fp}downsample_conv", bias=False)
+            b.bn(sd, f"{tp}downsample.1", f"{fp}downsample_bn")
+
+    stage_specs = _HRNET_STAGES[arch]
+    for s_idx, (num_modules, n_br, n_blocks) in zip((2, 3, 4), stage_specs):
+        t = s_idx - 1
+        # transitions
+        for i in range(n_br):
+            direct = f"{prefix}transition{t}.{i}.0.weight"
+            if direct in sd:
+                b.conv(sd, f"{prefix}transition{t}.{i}.0",
+                       f"{fp0}transition{t}_{i}/conv", bias=False)
+                b.bn(sd, f"{prefix}transition{t}.{i}.1",
+                     f"{fp0}transition{t}_{i}/bn")
+            else:  # chain of Sequentials (new branches)
+                j = 0
+                while f"{prefix}transition{t}.{i}.{j}.0.weight" in sd:
+                    b.conv(sd, f"{prefix}transition{t}.{i}.{j}.0",
+                           f"{fp0}transition{t}_{i}_{j}/conv", bias=False)
+                    b.bn(sd, f"{prefix}transition{t}.{i}.{j}.1",
+                         f"{fp0}transition{t}_{i}_{j}/bn")
+                    j += 1
+        # modules
+        for m in range(num_modules):
+            mp = f"{prefix}stage{s_idx}.{m}."
+            fpm = f"{fp0}stage{s_idx}_{m}/"
+            for i in range(n_br):
+                for k in range(n_blocks):
+                    tp = f"{mp}branches.{i}.{k}."
+                    fp = f"{fpm}branch{i}_{k}/"
+                    for ci in (1, 2):
+                        b.conv(sd, f"{tp}conv{ci}", f"{fp}conv{ci}", bias=False)
+                        b.bn(sd, f"{tp}bn{ci}", f"{fp}bn{ci}")
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j == i:
+                        continue
+                    if j > i:
+                        key = f"{mp}fuse_layers.{i}.{j}.0.weight"
+                        if key in sd:
+                            b.conv(sd, f"{mp}fuse_layers.{i}.{j}.0",
+                                   f"{fpm}fuse_{i}_{j}_conv", bias=False)
+                            b.bn(sd, f"{mp}fuse_layers.{i}.{j}.1",
+                                 f"{fpm}fuse_{i}_{j}_bn")
+                    else:
+                        for k in range(i - j):
+                            b.conv(sd, f"{mp}fuse_layers.{i}.{j}.{k}.0",
+                                   f"{fpm}fuse_{i}_{j}_{k}/conv", bias=False)
+                            b.bn(sd, f"{mp}fuse_layers.{i}.{j}.{k}.1",
+                                 f"{fpm}fuse_{i}_{j}_{k}/bn")
+    return b.done()
+
+
+def convert_dhrnet_decoder(sd: Mapping[str, Any]):
+    """D-HRNet decoder (networks/DHRNet.py:36-68): ModuleList order of the
+    OrderedDict insertions."""
+    order = [
+        "parallel_0_1", "parallel_0_2", "parallel_0_3", "parallel_0_4",
+        "conv1x1_0_21", "conv1x1_0_32", "conv1x1_0_31",
+        "conv1x1_0_43", "conv1x1_0_42", "conv1x1_0_41",
+        "parallel_1_1", "parallel_1_2", "parallel_1_3",
+        "conv1x1_1_21", "conv1x1_1_32", "conv1x1_1_31",
+        "parallel_2_1", "parallel_2_2", "conv1x1_2_21",
+        "parallel_3_0", "parallel_3_1", "conv1x1_3_10",
+        "parallel_4_0", "parallel_5_0", "dispconv_0",
+    ]
+    b = _TreeBuilder()
+    for idx, name in enumerate(order):
+        if name.startswith("dispconv"):
+            b.conv(sd, f"decoder.{idx}.conv", f"{name}/conv")
+        elif name.startswith("conv1x1"):
+            # flax ConvBlock1x1 nests one level less than torch's
+            b.conv(sd, f"decoder.{idx}.conv.conv", f"{name}/conv")
+        else:
+            b.conv(sd, f"decoder.{idx}.conv.conv", f"{name}/conv/conv")
+    return b.done()
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth checkpoint on CPU (requires torch)."""
     import torch

@@ -1,0 +1,186 @@
+"""HRNet backbone (reference networks/hrnet_encoder.py + hrnet_config.py),
+NHWC Flax.
+
+HighResolutionNet: 3x3/s2 conv stem x2 (features at 1/2 and 1/4), a
+Bottleneck stage-1, then three multi-branch stages exchanging information
+through fuse layers (1x1 conv + bn + bilinear align_corners=True upsample for
+lower->higher resolution, chains of stride-2 3x3 conv+bn(+relu) for
+higher->lower). Returns 5 features: [stem@1/2 (64ch), branch outputs
+18/36/72/144 at 1/4..1/32] for hrnet18.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mono_vifi_tpu.models.common import batch_norm
+from mono_vifi_tpu.models.resnet import BasicBlock, Bottleneck
+from mono_vifi_tpu.ops.image import resize_bilinear
+
+# stage specs: (num_modules, num_branches, blocks_per_branch, channels, block)
+HRNET_CONFIGS = {
+    "hrnet18": dict(
+        stage1=(1, 1, (4,), (64,), "bottleneck"),
+        stage2=(1, 2, (4, 4), (18, 36), "basic"),
+        stage3=(4, 3, (4, 4, 4), (18, 36, 72), "basic"),
+        stage4=(3, 4, (4, 4, 4, 4), (18, 36, 72, 144), "basic"),
+    ),
+    "hrnet32": dict(
+        stage1=(1, 1, (4,), (64,), "bottleneck"),
+        stage2=(1, 2, (4, 4), (32, 64), "basic"),
+        stage3=(4, 3, (4, 4, 4), (32, 64, 128), "basic"),
+        stage4=(3, 4, (4, 4, 4, 4), (32, 64, 128, 256), "basic"),
+    ),
+    "hrnet48": dict(
+        stage1=(1, 1, (4,), (64,), "bottleneck"),
+        stage2=(1, 2, (4, 4), (48, 96), "basic"),
+        stage3=(4, 3, (4, 4, 4), (48, 96, 192), "basic"),
+        stage4=(3, 4, (4, 4, 4, 4), (48, 96, 192, 384), "basic"),
+    ),
+    "hrnet64": dict(
+        stage1=(1, 1, (4,), (64,), "bottleneck"),
+        stage2=(1, 2, (4, 4), (64, 128), "basic"),
+        stage3=(4, 3, (4, 4, 4), (64, 128, 256), "basic"),
+        stage4=(3, 4, (4, 4, 4, 4), (64, 128, 256, 512), "basic"),
+    ),
+}
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+    stride: int = 1
+    relu: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, (3, 3), (self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv",
+        )(x)
+        x = batch_norm(train, "bn", self.dtype)(x)
+        return nn.relu(x) if self.relu else x
+
+
+class HRModule(nn.Module):
+    """One HighResolutionModule: per-branch block runs + all-to-all fusion
+    (reference hrnet_encoder.py:138-285)."""
+
+    channels: Sequence[int]
+    num_blocks: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        n = len(self.channels)
+        ys = []
+        for i in range(n):
+            y = xs[i]
+            for k in range(self.num_blocks[i]):
+                y = BasicBlock(
+                    self.channels[i], 1, False, self.dtype, name=f"branch{i}_{k}"
+                )(y, train)
+            ys.append(y)
+        if n == 1:
+            return ys
+
+        fused = []
+        for i in range(n):
+            acc = None
+            for j in range(n):
+                if j == i:
+                    t = ys[j]
+                elif j > i:
+                    t = nn.Conv(
+                        self.channels[i], (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"fuse_{i}_{j}_conv",
+                    )(ys[j])
+                    t = batch_norm(train, f"fuse_{i}_{j}_bn", self.dtype)(t)
+                    t = resize_bilinear(
+                        t, (ys[i].shape[1], ys[i].shape[2]), align_corners=True
+                    )
+                else:
+                    t = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        out_ch = self.channels[i] if last else self.channels[j]
+                        t = _ConvBNRelu(
+                            out_ch, 2, relu=not last, dtype=self.dtype,
+                            name=f"fuse_{i}_{j}_{k}",
+                        )(t, train)
+                acc = t if acc is None else acc + t
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class HighResolutionNet(nn.Module):
+    """Returns [stem@1/2, b0@1/4, b1@1/8, b2@1/16, b3@1/32]."""
+
+    arch: str = "hrnet18"
+    dtype: jnp.dtype | None = None
+
+    @property
+    def num_ch_enc(self) -> tuple[int, ...]:
+        cfg = HRNET_CONFIGS[self.arch]
+        return (64,) + tuple(cfg["stage4"][3])
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = HRNET_CONFIGS[self.arch]
+
+        x = nn.Conv(64, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = batch_norm(train, "bn1", self.dtype)(x)
+        f_stem = nn.relu(x)
+
+        x = nn.Conv(64, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(f_stem)
+        x = batch_norm(train, "bn2", self.dtype)(x)
+        x = nn.relu(x)
+
+        # stage 1: Bottleneck x4 at 1/4 res
+        n_blocks = cfg["stage1"][2][0]
+        planes = cfg["stage1"][3][0]
+        for k in range(n_blocks):
+            x = Bottleneck(
+                planes, 1, downsample=(k == 0), dtype=self.dtype, name=f"layer1_{k}"
+            )(x, train)
+        prev_channels = [planes * 4]
+        ys = [x]
+
+        for s_idx, stage_key in enumerate(("stage2", "stage3", "stage4"), start=2):
+            num_modules, n_br, num_blocks, channels, _ = cfg[stage_key]
+            # transition (reference :355-388)
+            xs = []
+            for i in range(n_br):
+                if i < len(prev_channels):
+                    if prev_channels[i] != channels[i]:
+                        xs.append(
+                            _ConvBNRelu(
+                                channels[i], 1, dtype=self.dtype,
+                                name=f"transition{s_idx - 1}_{i}",
+                            )(ys[i], train)
+                        )
+                    else:
+                        xs.append(ys[i])
+                else:
+                    t = ys[-1]
+                    for j in range(i + 1 - len(prev_channels)):
+                        out_ch = channels[i] if j == i - len(prev_channels) else \
+                            prev_channels[-1]
+                        t = _ConvBNRelu(
+                            out_ch, 2, dtype=self.dtype,
+                            name=f"transition{s_idx - 1}_{i}_{j}",
+                        )(t, train)
+                    xs.append(t)
+            for m in range(num_modules):
+                xs = HRModule(
+                    channels, num_blocks, self.dtype, name=f"stage{s_idx}_{m}"
+                )(xs, train)
+            ys = xs
+            prev_channels = list(channels)
+
+        return [f_stem] + ys

@@ -103,15 +103,27 @@ def load_reference_pth(path: str, cfg, num_levels: int = 5) -> dict:
         if converted["batch_stats"]:
             batch_stats[role] = converted["batch_stats"]
 
-    nl = 18 if cfg.backbone == "ResNet18" else 50
+    if cfg.backbone in ("ResNet18", "ResNet50"):
+        nl = 18 if cfg.backbone == "ResNet18" else 50
+        conv_enc = lambda sd: convert.convert_depth_encoder(sd, nl)
+        conv_dec = lambda sd: convert.convert_depth_decoder(sd, scales=(0,))
+    elif cfg.backbone == "LiteMono":
+        conv_enc = convert.convert_litemono_encoder
+        conv_dec = lambda sd: convert.convert_litemono_decoder(sd, scales=(0,))
+    elif cfg.backbone == "DHRNet":
+        conv_enc = convert.convert_hrnet
+        conv_dec = convert.convert_dhrnet_decoder
+    else:
+        raise ValueError(cfg.backbone)
+
     if "encoder" in ckpt:
-        put("encoder", convert.convert_depth_encoder(ckpt["encoder"], nl))
+        put("encoder", conv_enc(ckpt["encoder"]))
     if "depth" in ckpt:
-        put("depth", convert.convert_depth_decoder(ckpt["depth"], scales=(0,)))
+        put("depth", conv_dec(ckpt["depth"]))
     if "encoder_mf" in ckpt:
-        put("encoder_mf", convert.convert_depth_encoder(ckpt["encoder_mf"], nl))
+        put("encoder_mf", conv_enc(ckpt["encoder_mf"]))
     if "depth_mf" in ckpt:
-        put("depth_mf", convert.convert_depth_decoder(ckpt["depth_mf"], scales=(0,)))
+        put("depth_mf", conv_dec(ckpt["depth_mf"]))
     if "fusion_module" in ckpt:
         put(
             "fusion_module",

@@ -63,12 +63,13 @@ class MonoViFiStep:
         self.tx = tx
 
     # -------------------------------------------------------------- helpers
-    def _apply_encoder(self, params, bstats, role, x, train):
+    def _apply_encoder(self, params, bstats, role, x, train, rng=None):
         module = self.b.encoder
         variables = {"params": params[role], "batch_stats": bstats[role]}
         if train:
+            rngs = {"droppath": rng} if rng is not None else None
             feats, mut = module.apply(
-                variables, x, train=True, mutable=["batch_stats"]
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
             )
             return feats, mut["batch_stats"]
         return module.apply(variables, x, train=False), bstats[role]
@@ -138,7 +139,7 @@ class MonoViFiStep:
         cfg = self.cfg
         b = self.b
         B = batch["color_0"].shape[0]
-        rng_n1, rng_n2 = jax.random.split(rng)
+        rng_n1, rng_n2, rng_dp1, rng_dp2 = jax.random.split(rng, 4)
 
         img_n1, img_0, img_p1 = batch["color_n1"], batch["color_0"], batch["color_p1"]
         aug_n1, aug_0, aug_p1 = (
@@ -215,11 +216,12 @@ class MonoViFiStep:
             sf_inputs += [aff_aug_0, img_nt_aff, img_pt_aff]
         if cfg.fuse_model_type == "separate_all":
             feats_sf, new_bstats["encoder"] = self._apply_encoder(
-                params, batch_stats, "encoder", jnp.concatenate(sf_inputs, 0), train
+                params, batch_stats, "encoder", jnp.concatenate(sf_inputs, 0),
+                train, rng_dp1,
             )
             mf_in = jnp.concatenate([aug_0, img_nt, img_pt, aug_n1, aug_p1], 0)
             feats_mf_all, new_bstats["encoder_mf"] = self._apply_encoder(
-                params, batch_stats, "encoder_mf", mf_in, train
+                params, batch_stats, "encoder_mf", mf_in, train, rng_dp2
             )
             feats_mf = [
                 [f[i * B : (i + 1) * B] for f in feats_mf_all] for i in range(5)
@@ -228,7 +230,7 @@ class MonoViFiStep:
         else:
             all_in = jnp.concatenate(sf_inputs + [aug_n1, aug_p1], 0)
             feats_all, new_bstats["encoder"] = self._apply_encoder(
-                params, batch_stats, "encoder", all_in, train
+                params, batch_stats, "encoder", all_in, train, rng_dp1
             )
             n_sf = len(sf_inputs)
             feats_sf = [f[: n_sf * B] for f in feats_all]
