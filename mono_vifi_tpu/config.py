@@ -75,6 +75,8 @@ class Options:
     num_devices: int = 0  # 0 = all local devices
     compute_dtype: str = "bfloat16"  # conv compute dtype; params stay f32
     weights_dir: str = "./weights"  # frozen VFI / pretrained encoder weights
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps
+    debug_nans: bool = False  # enable jax nan-checking (slow; debugging aid)
 
     @property
     def use_pose_net(self) -> bool:
@@ -83,7 +85,7 @@ class Options:
 
 _BOOL_FIELDS = {
     "jpg", "use_stereo", "resume", "avg_reprojection", "disable_automasking",
-    "no_ssim", "use_affine",
+    "no_ssim", "use_affine", "debug_nans",
 }
 _LIST_INT_FIELDS = {"frame_ids", "decay_step"}
 

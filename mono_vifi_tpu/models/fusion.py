@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -24,13 +25,22 @@ def embed_flow(x: jax.Array, num_freqs: int = 10) -> jax.Array:
 
     Reference networks/fusion_module.py:7-37 (include_input=True,
     log_sampling). (B, H, W, 2) -> (B, H, W, 2 + 4*num_freqs).
+
+    Computed as ONE phase-shifted sine over a channel-major (B, H, W, 4K)
+    tensor (cos t = sin(t + pi/2)) instead of 2K separate (.., 2)-channel
+    temps — tiny-minor-dim temps get catastrophic (8, 128) tile padding on
+    TPU (68x memory blowup observed).
     """
-    parts = [x]
-    for k in range(num_freqs):
-        f = float(2**k)
-        parts.append(jnp.sin(x * f))
-        parts.append(jnp.cos(x * f))
-    return jnp.concatenate(parts, axis=-1)
+    K = num_freqs
+    n = x.shape[-1]
+    # channels: per k: [sin(f_k x0), sin(f_k x1), cos(f_k x0), cos(f_k x1)]
+    base = jnp.tile(x, (1,) * (x.ndim - 1) + (2 * K,))
+    freqs = np.repeat(2.0 ** np.arange(K), 2 * n).astype(np.float32)
+    phase = np.tile(
+        np.concatenate([np.zeros(n), np.full(n, np.pi / 2)]).astype(np.float32), K
+    )
+    out = jnp.sin(base * jnp.asarray(freqs, x.dtype) + jnp.asarray(phase, x.dtype))
+    return jnp.concatenate([x, out], axis=-1)
 
 
 class FusionModule(nn.Module):

@@ -62,7 +62,14 @@ def resize_bilinear(
     dtype = x.dtype
     Mh = jnp.asarray(_interp_matrix(H, Ho, align_corners), dtype)
     Mw = jnp.asarray(_interp_matrix(W, Wo, align_corners), dtype)
-    hp = jax.lax.Precision.HIGHEST
+    # f32 inputs get exact (HIGHEST) interpolation for eval parity; bf16
+    # compute paths keep the fast MXU mode (weights are exact in bf16 anyway
+    # only up to rounding, which bf16 activations already dominate).
+    hp = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     y = jnp.einsum("oh,bhwc->bowc", Mh, x, precision=hp)
     y = jnp.einsum("pw,bowc->bopc", Mw, y, precision=hp)
     return y

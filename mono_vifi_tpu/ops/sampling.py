@@ -59,63 +59,88 @@ def grid_sample(
     x = _unnormalize(grid[..., 0].astype(compute_dtype), W, align_corners)
     y = _unnormalize(grid[..., 1].astype(compute_dtype), H, align_corners)
 
-    if padding_mode == "border":
+    if padding_mode == "border" and H >= 2 and W >= 2:
+        # TPU fast path: pack each pixel's (2, 2, C) bilinear footprint into
+        # one gather row. XLA's TPU gather is issue-rate-bound (~60-75M rows/s
+        # regardless of row width), so fetching all four taps per row is ~4x
+        # faster than four separate gathers. Base indices are clamped to
+        # [0, size-2]; with the float coordinate clamped to [0, size-1] the
+        # resulting weights reproduce border padding exactly.
         x = jnp.clip(x, 0.0, W - 1)
         y = jnp.clip(y, 0.0, H - 1)
+        x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+        wx = (x - x0)[..., None]
+        wy = (y - y0)[..., None]
 
+        sx = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+        sy = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
+        block = jnp.concatenate([img, sx, sy, sxy], axis=-1)  # [v00 v01 v10 v11]
+
+        flat = block.reshape(B, H * W, 4 * C).astype(compute_dtype)
+        idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(B, Ho * Wo, 1)
+        g = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, 4, C)
+        top = (1.0 - wx) * g[..., 0, :] + wx * g[..., 1, :]
+        bot = (1.0 - wx) * g[..., 2, :] + wx * g[..., 3, :]
+        out = (1.0 - wy) * top + wy * bot
+        return out.astype(img.dtype)
+
+    # zeros padding (and degenerate sizes): blocked gather with per-tap
+    # in-bounds masks. The block base is clamped to [0, size-2]; each tap
+    # selects its entry inside the fetched (2, 2) block by its offset from
+    # the base (out-of-range taps get zero weight, so their selected value
+    # is irrelevant).
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    wx = x - x0f
-    wy = y - y0f
+    wx = (x - x0f)[..., None]
+    wy = (y - y0f)[..., None]
 
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     x1 = x0 + 1
     y1 = y0 + 1
 
-    if padding_mode == "zeros":
-        # Per-tap in-bounds masks (weights of out-of-range taps zeroed).
-        mx0 = (x0 >= 0) & (x0 <= W - 1)
-        mx1 = (x1 >= 0) & (x1 <= W - 1)
-        my0 = (y0 >= 0) & (y0 <= H - 1)
-        my1 = (y1 >= 0) & (y1 <= H - 1)
+    mx0 = (x0 >= 0) & (x0 <= W - 1)
+    mx1 = (x1 >= 0) & (x1 <= W - 1)
+    my0 = (y0 >= 0) & (y0 <= H - 1)
+    my1 = (y1 >= 0) & (y1 <= H - 1)
 
-    x0c = jnp.clip(x0, 0, W - 1)
-    x1c = jnp.clip(x1, 0, W - 1)
-    y0c = jnp.clip(y0, 0, H - 1)
-    y1c = jnp.clip(y1, 0, H - 1)
+    x0b = jnp.clip(x0, 0, max(W - 2, 0))
+    y0b = jnp.clip(y0, 0, max(H - 2, 0))
 
-    # gather in the promoted dtype so the scatter-add adjoint's updates match
-    # the operand dtype (avoids f32->bf16 scatter promotion errors)
-    flat = img.reshape(B, H * W, C).astype(compute_dtype)
+    if W >= 2:
+        sx = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    else:
+        sx = img
+    if H >= 2:
+        sy = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
+    else:
+        sy, sxy = img, sx
+    block = jnp.concatenate([img, sx, sy, sxy], axis=-1)
 
-    def gather(yi, xi):
-        idx = (yi * W + xi).reshape(B, Ho * Wo, 1)
-        out = jnp.take_along_axis(flat, idx, axis=1)
-        return out.reshape(B, Ho, Wo, C)
+    flat = block.reshape(B, H * W, 4 * C).astype(compute_dtype)
+    idx = (y0b * W + x0b).reshape(B, Ho * Wo, 1)
+    g = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, 4, C)
 
-    g00 = gather(y0c, x0c)  # top-left
-    g01 = gather(y0c, x1c)  # top-right
-    g10 = gather(y1c, x0c)  # bottom-left
-    g11 = gather(y1c, x1c)  # bottom-right
+    def pick(ty, tx):
+        ry = jnp.clip(ty - y0b, 0, 1)[..., None]
+        rx = jnp.clip(tx - x0b, 0, 1)[..., None]
+        top = jnp.where(rx == 1, g[..., 1, :], g[..., 0, :])
+        bot = jnp.where(rx == 1, g[..., 3, :], g[..., 2, :])
+        return jnp.where(ry == 1, bot, top)
 
-    w00 = (1.0 - wy) * (1.0 - wx)
-    w01 = (1.0 - wy) * wx
-    w10 = wy * (1.0 - wx)
-    w11 = wy * wx
-
-    if padding_mode == "zeros":
-        zero = jnp.zeros((), compute_dtype)
-        w00 = jnp.where(my0 & mx0, w00, zero)
-        w01 = jnp.where(my0 & mx1, w01, zero)
-        w10 = jnp.where(my1 & mx0, w10, zero)
-        w11 = jnp.where(my1 & mx1, w11, zero)
+    w00 = jnp.where((my0 & mx0)[..., None], (1.0 - wy) * (1.0 - wx), 0.0)
+    w01 = jnp.where((my0 & mx1)[..., None], (1.0 - wy) * wx, 0.0)
+    w10 = jnp.where((my1 & mx0)[..., None], wy * (1.0 - wx), 0.0)
+    w11 = jnp.where((my1 & mx1)[..., None], wy * wx, 0.0)
 
     out = (
-        w00[..., None] * g00
-        + w01[..., None] * g01
-        + w10[..., None] * g10
-        + w11[..., None] * g11
+        w00 * pick(y0, x0)
+        + w01 * pick(y0, x1)
+        + w10 * pick(y1, x0)
+        + w11 * pick(y1, x1)
     )
     return out.astype(img.dtype)
 

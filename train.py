@@ -56,6 +56,8 @@ class Trainer:
     def __init__(self, cfg: Options):
         self.cfg = cfg
         assert cfg.height % 32 == 0 and cfg.width % 32 == 0, "H, W must be x32"
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
         self.log_path = os.path.join(cfg.log_dir, cfg.exp_name)
         os.makedirs(self.log_path, exist_ok=True)
@@ -262,6 +264,13 @@ class Trainer:
         self.sampler.set_start_iter(self.batch_start * self.global_batch)
         self.train_dataset.set_epoch(epoch)
 
+        profiling = False
+        if cfg.profile_steps > 0 and epoch == self.ep_start:
+            trace_dir = os.path.join(self.log_path, "profile")
+            jax.profiler.start_trace(trace_dir)
+            profiling = True
+            logging.info("Capturing jax.profiler trace to %s", trace_dir)
+
         t_data = time.perf_counter()
         it = device_prefetch(self.train_loader, self.data_sharding)
         for batch_idx, batch in enumerate(it):
@@ -270,6 +279,11 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, self.vfi_params, batch, step_rng
             )
+            if profiling and batch_idx + 1 >= cfg.profile_steps:
+                float(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logging.info("Profiler trace captured (%d steps)", cfg.profile_steps)
 
             global_idx = batch_idx + self.batch_start
             if global_idx % cfg.log_frequency == 0:
