@@ -18,12 +18,16 @@ from mono_vifi_tpu.data.mono_dataset import MonoDataset
 
 
 class CityscapesDataset(MonoDataset):
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, doj_mask: bool = False, mask_dir: str | None = None,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         if self.is_train:
             self.RAW_WIDTH, self.RAW_HEIGHT = 1024, 384
         else:
             self.RAW_WIDTH, self.RAW_HEIGHT = 2048, 1024
+        # optional dynamic-object masks (reference cityscapes_dataset.py:137-161)
+        self.doj_mask = doj_mask
+        self.mask_dir = mask_dir or ("./train_mask" if self.is_train else "./val_mask")
 
     def index_to_folder_and_frame_idx(self, index):
         city, frame_name = self.filenames[index].split()
@@ -106,3 +110,21 @@ class CityscapesDataset(MonoDataset):
             frames["n1"] = frames["0"].copy()
             frames["p1"] = frames["0"].copy()
         return frames
+
+    def get_doj_masks(self, city, frame_name, do_flip):
+        """Load per-frame dynamic-object masks as (H, W, 1) float arrays,
+        resized to the network resolution."""
+        import numpy as np
+        from mono_vifi_tpu.data.augment import to_array
+
+        c, seq, frame = frame_name.split("_")
+        frame = int(frame)
+        out = {}
+        for suffix, key in (("", "doj_mask_0"), ("-1", "doj_mask_n1"), ("+1", "doj_mask_p1")):
+            mask = np.load(os.path.join(self.mask_dir, f"{c}_{seq}_{frame}{suffix}.npy"))
+            img = Image.fromarray(mask)
+            if do_flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            img = img.resize((self.width, self.height), Image.BILINEAR)
+            out[key] = to_array(img)
+        return out

@@ -167,8 +167,8 @@ class IFRNet(nn.Module):
         if only_flow:
             return {"flow0": flow0_full, "flow1": flow1_full, "mask": mask_full}
 
-        img0_warp = warp(img0, flow0_full)
-        img1_warp = warp(img1, flow1_full)
+        img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
+        img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)
         imgt_merge = mask_full * img0_warp + (1 - mask_full) * img1_warp
         imgt_pred = jnp.clip(imgt_merge + mean_, 0.0, 1.0)
 

@@ -98,6 +98,24 @@ def si_log_depth_loss(
     return jnp.mean(loss)
 
 
+def smooth_loss_dyn(disp: jax.Array, img: jax.Array, mask_dyn: jax.Array) -> jax.Array:
+    """Dynamic-object-weighted smoothness (reference layers.py:244-258,
+    kept for parity; unused by the trainer). mask_dyn: (B, H, W, 1)."""
+    M = 100.0 * mask_dyn + (1.0 - mask_dyn)
+    img = (1.0 - mask_dyn) * img
+    grad_disp_x = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
+    grad_disp_y = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
+    grad_img_x = jnp.mean(
+        jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]), axis=-1, keepdims=True
+    )
+    grad_img_y = jnp.mean(
+        jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]), axis=-1, keepdims=True
+    )
+    grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
+    grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y) * M[:, :-1, :, :]
+    return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
+
+
 # --------------------------------------------------------------------------
 # IFRNet VFI training losses (networks/IFRNet.py:18-114)
 # --------------------------------------------------------------------------

@@ -32,12 +32,15 @@ def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
+@functools.partial(
+    jax.jit, static_argnames=("padding_mode", "align_corners", "gather_dtype")
+)
 def grid_sample(
     img: jax.Array,
     grid: jax.Array,
     padding_mode: str = "border",
     align_corners: bool = True,
+    gather_dtype=None,
 ) -> jax.Array:
     """Bilinear sample `img` at `grid` positions.
 
@@ -46,6 +49,9 @@ def grid_sample(
       grid: (B, Ho, Wo, 2) normalized coords in [-1, 1], (x, y) order.
       padding_mode: 'border' or 'zeros'.
       align_corners: torch semantics.
+      gather_dtype: optional reduced dtype (e.g. jnp.bfloat16) for the
+        gathered taps — gather rows are rate/byte-bound on TPU, so bf16
+        taps are ~1.5x faster at ~1e-3 precision cost. None = exact.
 
     Returns:
       (B, Ho, Wo, C) sampled output.
@@ -73,14 +79,18 @@ def grid_sample(
         wx = (x - x0)[..., None]
         wy = (y - y0)[..., None]
 
-        sx = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
-        sy = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        # gather in the source's (or requested reduced) dtype — rows are
+        # rate/byte-bound, so never upcast before the gather; upcast after.
+        src = img if gather_dtype is None else img.astype(gather_dtype)
+        sx = jnp.concatenate([src[:, :, 1:], src[:, :, -1:]], axis=2)
+        sy = jnp.concatenate([src[:, 1:], src[:, -1:]], axis=1)
         sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
-        block = jnp.concatenate([img, sx, sy, sxy], axis=-1)  # [v00 v01 v10 v11]
+        block = jnp.concatenate([src, sx, sy, sxy], axis=-1)  # [v00 v01 v10 v11]
 
-        flat = block.reshape(B, H * W, 4 * C).astype(compute_dtype)
+        flat = block.reshape(B, H * W, 4 * C)
         idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(B, Ho * Wo, 1)
         g = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, 4, C)
+        g = g.astype(compute_dtype)
         top = (1.0 - wx) * g[..., 0, :] + wx * g[..., 1, :]
         bot = (1.0 - wx) * g[..., 2, :] + wx * g[..., 3, :]
         out = (1.0 - wy) * top + wy * bot
@@ -145,7 +155,7 @@ def grid_sample(
     return out.astype(img.dtype)
 
 
-def warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+def warp(img: jax.Array, flow: jax.Array, gather_dtype=None) -> jax.Array:
     """Backward-warp `img` by a pixel-displacement `flow`.
 
     Matches reference networks/IFRNet.py:7-15: a base identity grid in [-1,1]
@@ -163,4 +173,7 @@ def warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     nx = gx[None] + flow[..., 0] / ((W - 1.0) / 2.0)
     ny = gy[None] + flow[..., 1] / ((H - 1.0) / 2.0)
     grid = jnp.stack([nx, ny], axis=-1)
-    return grid_sample(img, grid, padding_mode="border", align_corners=True)
+    return grid_sample(
+        img, grid, padding_mode="border", align_corners=True,
+        gather_dtype=gather_dtype,
+    )

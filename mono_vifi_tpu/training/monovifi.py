@@ -68,9 +68,17 @@ class MonoViFiStep:
         variables = {"params": params[role], "batch_stats": bstats[role]}
         if train:
             rngs = {"droppath": rng} if rng is not None else None
-            feats, mut = module.apply(
-                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
-            )
+
+            # rematerialize: the fused encoder pass over 5-8B images is
+            # cheap to recompute (~40ms) but its activation pyramids are
+            # hundreds of MB — recompute in backward instead of storing.
+            @functools.partial(jax.checkpoint, static_argnums=())
+            def run(v, xx):
+                return module.apply(
+                    v, xx, train=True, mutable=["batch_stats"], rngs=rngs
+                )
+
+            feats, mut = run(variables, x)
             return feats, mut["batch_stats"]
         return module.apply(variables, x, train=False), bstats[role]
 
@@ -95,8 +103,9 @@ class MonoViFiStep:
         _, depth = geometry.disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
         grid_n1 = geometry.reprojection_grid(depth, K, invK, T_n1)
         grid_p1 = geometry.reprojection_grid(depth, K, invK, T_p1)
-        pred_n1 = sampling.grid_sample(src_n1, grid_n1)
-        pred_p1 = sampling.grid_sample(src_p1, grid_p1)
+        gd = self.b.dtype  # bf16 taps in the bf16 compute path (None = exact)
+        pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
+        pred_p1 = _f32(sampling.grid_sample(src_p1, grid_p1, gather_dtype=gd))
 
         use_ssim = not cfg.no_ssim
         reproj = jnp.concatenate(
@@ -150,23 +159,31 @@ class MonoViFiStep:
         K, invK = batch["K"], batch["inv_K"]
         new_bstats = dict(batch_stats)
 
-        # ---- frozen VFI-L: 3 pairs in one pass (reference train.py:715-718)
-        embt3 = jnp.full((3 * B, 1, 1, 1), 0.5, jnp.float32)
+        # ---- frozen VFI-L (reference train.py:715-718): the two synthesis
+        # pairs batch into one full pass; the (n1, p1) pair takes the
+        # onlyFlow fast path (no full-res image warps — they're gathers, the
+        # most expensive op on TPU).
+        embt2 = jnp.full((2 * B, 1, 1, 1), 0.5, jnp.float32)
         vfi_out = b.vfi_train.apply(
             {"params": vfi_params},
-            jnp.concatenate([img_n1, img_0, img_n1], 0),
-            jnp.concatenate([img_0, img_p1, img_p1], 0),
-            embt3,
+            jnp.concatenate([img_n1, img_0], 0),
+            jnp.concatenate([img_0, img_p1], 0),
+            embt2,
         )
         vfi_out = jax.lax.stop_gradient(vfi_out)
+        flows_01 = jax.lax.stop_gradient(
+            b.vfi_train.apply(
+                {"params": vfi_params}, img_n1, img_p1, embt2[:B], only_flow=True
+            )
+        )
         pred = _f32(vfi_out["imgt_pred"])
         fl0, fl1 = _f32(vfi_out["flow0"]), _f32(vfi_out["flow1"])
         msk = _f32(vfi_out["mask"])
-        img_nt, img_pt = pred[:B], pred[B : 2 * B]
+        img_nt, img_pt = pred[:B], pred[B:]
         flow_nt_n1, flow_nt_0 = fl0[:B], fl1[:B]
-        flow_pt_0, flow_pt_p1 = fl0[B : 2 * B], fl1[B : 2 * B]
-        flow_0_n1, flow_0_p1 = fl0[2 * B :], fl1[2 * B :]
-        mask_nt, mask_pt, mask_01 = msk[:B], msk[B : 2 * B], msk[2 * B :]
+        flow_pt_0, flow_pt_p1 = fl0[B:], fl1[B:]
+        flow_0_n1, flow_0_p1 = _f32(flows_01["flow0"]), _f32(flows_01["flow1"])
+        mask_nt, mask_pt, mask_01 = msk[:B], msk[B:], _f32(flows_01["mask"])
 
         # ---- 6 pose pairs in one pass (reference train.py:728-733, :943-954)
         pose_pairs = [

@@ -154,6 +154,25 @@ class Trainer:
     def save_opts(self):
         with open(os.path.join(self.log_path, "opt.json"), "w") as f:
             json.dump({k: str(v) for k, v in vars(self.cfg).items()}, f, indent=2)
+        # experiment provenance: snapshot the source tree (reference
+        # train.py:1095-1106)
+        import shutil
+
+        src_root = os.path.dirname(os.path.abspath(__file__))
+        target = os.path.join(self.log_path, "codes")
+        shutil.rmtree(target, ignore_errors=True)
+        for root, dirs, files in os.walk(src_root):
+            dirs[:] = [d for d in dirs if d not in
+                       (".git", "logs", "codes", "__pycache__", "splits")]
+            if os.path.abspath(root).startswith(os.path.abspath(self.cfg.log_dir)):
+                continue
+            for f in files:
+                if f.endswith((".py", ".sh", ".txt")) and "test_files" not in f:
+                    sp = os.path.join(root, f)
+                    rel = os.path.relpath(sp, src_root)
+                    tp = os.path.join(target, rel)
+                    os.makedirs(os.path.dirname(tp), exist_ok=True)
+                    shutil.copy(sp, tp)
 
     def _load_gt_depths(self):
         cfg = self.cfg
@@ -251,11 +270,30 @@ class Trainer:
     def train(self):
         for epoch in range(self.ep_start, self.cfg.num_epochs):
             self.run_epoch(epoch)
-            if self.gt_depths is not None:
-                if self.cfg.dataset in ("kitti", "cityscapes"):
+            if self.cfg.dataset in ("kitti", "cityscapes"):
+                if self.gt_depths is not None:
                     self.test(epoch, multi_frame=False)
                     self.test(epoch, multi_frame=True)
+            elif self.cfg.dataset == "nyuv2":
+                self.test_nyuv2(epoch)
             self.save_model(epoch, ep_end=True)
+
+    def test_nyuv2(self, epoch: int):
+        """Per-epoch NYUv2 eval (reference train.py:305-354)."""
+        logging.info("NYUv2 eval at epoch %d", epoch)
+        ds = self.test_dataset
+        preds, gts = [], []
+        for i in range(len(ds)):
+            rgb, depth = ds.load_test_item(i)
+            d = self._sf_disp(
+                self.state.params, self.state.batch_stats, jnp.asarray(rgb)[None]
+            )
+            from mono_vifi_tpu.ops.geometry import disp_to_depth
+
+            sd, _ = disp_to_depth(d, self.cfg.min_depth, self.cfg.max_depth)
+            preds.append(np.asarray(sd)[0, ..., 0])
+            gts.append(depth)
+        evaluation.evaluate_nyuv2(np.stack(preds), gts, printer=logging.info)
 
     def run_epoch(self, epoch: int):
         cfg = self.cfg
