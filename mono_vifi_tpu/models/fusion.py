@@ -86,8 +86,14 @@ class FusionModule(nn.Module):
         flow_0_n1, flow_0_p1 = flows
         levels = len(self.num_ch_enc)
 
-        feats_n1_0 = self._warp_pyramid(feats_n1, flow_0_n1)
-        feats_p1_0 = self._warp_pyramid(feats_p1, flow_0_p1)
+        # both neighbors' pyramids warp in one batched gather per level
+        B = flow_0_n1.shape[0]
+        both = self._warp_pyramid(
+            [jnp.concatenate([a, b], 0) for a, b in zip(feats_n1, feats_p1)],
+            jnp.concatenate([flow_0_n1, flow_0_p1], 0),
+        )
+        feats_n1_0 = [f[:B] for f in both]
+        feats_p1_0 = [f[B:] for f in both]
 
         zero_flow = jax.lax.stop_gradient(0.0 * flow_0_n1)
         emb_0 = self._embedding_pyramid(zero_flow)

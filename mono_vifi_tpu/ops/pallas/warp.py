@@ -1,0 +1,189 @@
+"""Windowed bilinear warp as a Pallas TPU kernel.
+
+XLA's TPU gather retires ~60-75M rows/s regardless of row width (see
+PERF.md), which makes `grid_sample` the dominant cost of the whole training
+step. This kernel replaces the HBM gather with VPU-speed intra-window
+selection:
+
+  - grid over (batch, channel, row-tile, col-tile); the full (H, W) image
+    plane of the current (b, c) sits in VMEM (fetched once per plane since
+    the block index is constant across tiles),
+  - each (8, 128) output tile dynamically slices a (WH, WW) source window at
+    an offset derived from the tile's min source coordinate,
+  - a static loop over the window's WH rows resolves the per-element column
+    taps with Mosaic `dynamic_gather` (take_along_axis on (8, 128) vregs)
+    and accumulates the 4 bilinear taps via row-match selects.
+
+The kernel emits the four taps; the (differentiable) bilinear combination
+happens outside in XLA, so gradients w.r.t. the grid flow through the
+weights with no custom VJP (taps are piecewise-constant in the grid — their
+a.e.-zero gradient is exact).
+
+EXACTNESS CONTRACT: the result equals grid_sample(..., 'border',
+align_corners=True) whenever each output tile's source coordinates span at
+most (WH-1) rows x (WW-1) cols (true for essentially all view-synthesis /
+optical-flow warps at these resolutions; a depth or motion discontinuity
+would need >46 px vertical or >254 px horizontal spread inside one
+8x128-pixel tile to violate it). Out-of-window coordinates clamp to the
+window edge. Use for training-time warps of gradient-free operands; the
+exact XLA path remains the default and the eval path.
+
+Reference semantics: torch F.grid_sample as used in train.py:966-969 and
+networks/IFRNet.py:7-15.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+
+
+def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W):
+    y0 = y0_ref[0]  # (8, 128) int32, clamped to [0, H-2]
+    x0 = x0_ref[0]
+
+    oy = jnp.clip(jnp.min(y0), 0, max(H - WH, 0))
+    ox = jnp.clip(jnp.min(x0), 0, max(W - WW, 0))
+
+    ly = jnp.clip(y0 - oy, 0, WH - 2)
+    lx = jnp.clip(x0 - ox, 0, WW - 2)
+    lx1 = lx + 1
+
+    win = img_ref[0, 0, pl.ds(oy, WH), pl.ds(ox, WW)]  # (WH, WW)
+
+    n_chunks = WW // 128
+    in_chunk = [
+        jnp.logical_and(lx >= k * 128, lx < (k + 1) * 128) for k in range(n_chunks)
+    ]
+    in_chunk1 = [
+        jnp.logical_and(lx1 >= k * 128, lx1 < (k + 1) * 128) for k in range(n_chunks)
+    ]
+    lx_rel = [jnp.clip(lx - k * 128, 0, 127) for k in range(n_chunks)]
+    lx1_rel = [jnp.clip(lx1 - k * 128, 0, 127) for k in range(n_chunks)]
+
+    zero = jnp.zeros((TILE_H, TILE_W), win.dtype)
+    t00 = t01 = t10 = t11 = zero
+    # statically unrolled row loop (Mosaic cannot dynamic_slice values)
+    for r in range(WH):
+        row = win[r : r + 1, :]  # (1, WW), static slice
+        left = zero
+        right = zero
+        for k in range(n_chunks):
+            chunk = jnp.broadcast_to(
+                row[:, k * 128 : (k + 1) * 128], (TILE_H, TILE_W)
+            )
+            gl = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
+            gr = jnp.take_along_axis(chunk, lx1_rel[k], axis=1)
+            left = jnp.where(in_chunk[k], gl, left)
+            right = jnp.where(in_chunk1[k], gr, right)
+        is_y0 = ly == r
+        is_y1 = ly == r - 1  # i.e. ly + 1 == r
+        t00 = jnp.where(is_y0, left, t00)
+        t01 = jnp.where(is_y0, right, t01)
+        t10 = jnp.where(is_y1, left, t10)
+        t11 = jnp.where(is_y1, right, t11)
+    out_ref[0, 0, 0] = t00
+    out_ref[0, 0, 1] = t01
+    out_ref[0, 0, 2] = t10
+    out_ref[0, 0, 3] = t11
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "align_corners", "interpret")
+)
+def grid_sample_windowed(
+    img: jax.Array,
+    grid: jax.Array,
+    window: tuple[int, int] = (48, 256),
+    align_corners: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bilinear border-padded sampling via the windowed Pallas kernel.
+
+    Requires Ho % 8 == 0, Wo % 128 == 0, H >= window[0], W >= window[1].
+    See module docstring for the exactness contract.
+    """
+    B, H, W, C = img.shape
+    _, Ho, Wo, _ = grid.shape
+    WH, WW = window
+    assert Ho % TILE_H == 0 and Wo % TILE_W == 0, (Ho, Wo)
+    assert H >= WH and W >= WW and WW % 128 == 0, (H, W, window)
+
+    if align_corners:
+        x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+        y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((grid[..., 0] + 1.0) * W - 1.0) * 0.5
+        y = ((grid[..., 1] + 1.0) * H - 1.0) * 0.5
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+    x0f = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0f = jnp.clip(jnp.floor(y), 0, H - 2)
+    wx = (x - x0f)[..., None]  # differentiable
+    wy = (y - y0f)[..., None]
+
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+
+    img_chw = img.transpose(0, 3, 1, 2)  # (B, C, H, W)
+    n_ty, n_tx = Ho // TILE_H, Wo // TILE_W
+
+    kernel = functools.partial(_warp_taps_kernel, WH=WH, WW=WW, H=H, W=W)
+    taps = pl.pallas_call(
+        kernel,
+        grid=(B, C, n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE_H, TILE_W),
+                lambda b, c, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TILE_H, TILE_W),
+                lambda b, c, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, H, W),
+                lambda b, c, i, j: (b, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 4, TILE_H, TILE_W),
+            lambda b, c, i, j: (b, c, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, 4, Ho, Wo), img.dtype),
+        interpret=interpret,
+    )(y0, x0, img_chw)
+    taps = jax.lax.stop_gradient(taps)
+
+    wxc = wx[..., 0][:, None]  # (B, 1, Ho, Wo)
+    wyc = wy[..., 0][:, None]
+    t00, t01, t10, t11 = (taps[:, :, k] for k in range(4))
+    top = (1.0 - wxc) * t00 + wxc * t01
+    bot = (1.0 - wxc) * t10 + wxc * t11
+    out_chw = (1.0 - wyc) * top + wyc * bot
+    return out_chw.transpose(0, 2, 3, 1).astype(img.dtype)
+
+
+def windowed_ok(img_shape, grid_shape, window=(48, 256)) -> bool:
+    """Static predicate: can the windowed kernel serve this call?"""
+    B, H, W, C = img_shape
+    _, Ho, Wo, _ = grid_shape
+    WH, WW = window
+    return (
+        Ho % TILE_H == 0
+        and Wo % TILE_W == 0
+        and H >= WH
+        and W >= WW
+        and WW % 128 == 0
+    )

@@ -1,0 +1,64 @@
+"""Windowed Pallas warp: parity with the exact grid_sample (interpret mode on
+CPU) for smooth flow fields within the window contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mono_vifi_tpu.ops import sampling
+from mono_vifi_tpu.ops.pallas import warp as pwarp
+
+RNG = np.random.default_rng(11)
+
+
+def _smooth_grid(B, H, W, max_disp_x=40.0, max_disp_y=10.0):
+    """A smooth, view-synthesis-like sampling grid (pixel displacements vary
+    slowly; per-tile spread well within the window contract)."""
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    grids = []
+    for b in range(B):
+        ph = RNG.uniform(0, 2 * np.pi, 4)
+        dx = max_disp_x * (
+            0.5 * np.sin(2 * np.pi * ys / H + ph[0]) + 0.5 * np.cos(2 * np.pi * xs / W + ph[1])
+        )
+        dy = max_disp_y * (
+            0.5 * np.sin(2 * np.pi * xs / W + ph[2]) + 0.5 * np.cos(2 * np.pi * ys / H + ph[3])
+        )
+        gx = (xs + dx) / (W - 1) * 2 - 1
+        gy = (ys + dy) / (H - 1) * 2 - 1
+        grids.append(np.stack([gx, gy], -1))
+    return np.stack(grids).astype(np.float32)
+
+
+def test_windowed_warp_matches_exact():
+    B, H, W, C = 2, 64, 256, 3
+    img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
+    grid = jnp.asarray(_smooth_grid(B, H, W))
+    assert pwarp.windowed_ok(img.shape, grid.shape)
+
+    exact = sampling.grid_sample(img, grid, "border", True)
+    fast = pwarp.grid_sample_windowed(img, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=1e-5)
+
+
+def test_windowed_warp_grid_gradients_match():
+    B, H, W, C = 1, 64, 256, 2
+    img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
+    grid = jnp.asarray(_smooth_grid(B, H, W, 20.0, 8.0))
+
+    def loss_exact(g):
+        return jnp.sum(sampling.grid_sample(img, g, "border", True) ** 2)
+
+    def loss_fast(g):
+        return jnp.sum(pwarp.grid_sample_windowed(img, g, interpret=True) ** 2)
+
+    ge = jax.grad(loss_exact)(grid)
+    gf = jax.grad(loss_fast)(grid)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ge), atol=1e-3, rtol=1e-3)
+
+
+def test_windowed_ok_predicate():
+    assert not pwarp.windowed_ok((1, 64, 256, 3), (1, 60, 256, 2))  # Ho % 8
+    assert not pwarp.windowed_ok((1, 64, 256, 3), (1, 64, 200, 2))  # Wo % 128
+    assert not pwarp.windowed_ok((1, 32, 256, 3), (1, 64, 256, 2))  # H < WH
+    assert pwarp.windowed_ok((1, 192, 640, 3), (1, 192, 640, 2))

@@ -70,6 +70,15 @@ class Trainer:
         logging.info("Experiment: %s | devices: %d | backbone: %s",
                      cfg.exp_name, self.n_dev, cfg.backbone)
 
+        try:  # TensorBoard scalars (reference train.py:45-47, :1062-1067)
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(
+                os.path.join(self.log_path, "tensorboard", "train")
+            )
+        except ImportError:
+            self.writer = None
+
         # ---------------- data
         if cfg.dataset == "kitti":
             fpath = os.path.join(SPLITS_DIR, "kitti", cfg.split, "{}_files.txt")
@@ -335,6 +344,9 @@ class Trainer:
                     epoch, cfg.num_epochs - 1, global_idx, self.steps_per_epoch,
                     t_fp - t_data, t_now - t_data, loss, sec_to_hm_str(eta),
                 )
+                if self.writer is not None:
+                    for k, v in metrics.items():
+                        self.writer.add_scalar(k, float(v), step_no)
             if global_idx > 0 and global_idx % cfg.save_frequency == 0:
                 self.save_model(epoch, batch_idx=global_idx + 1)
             t_data = time.perf_counter()
