@@ -103,6 +103,7 @@ class IFRNet(nn.Module):
 
     scale: str = "large"
     dtype: jnp.dtype | None = None
+    fast_warp: bool = False  # windowed Pallas kernel for full-res img warps
 
     @nn.compact
     def __call__(self, img0, img1, embt, imgt=None, only_flow: bool = False):
@@ -167,8 +168,18 @@ class IFRNet(nn.Module):
         if only_flow:
             return {"flow0": flow0_full, "flow1": flow1_full, "mask": mask_full}
 
-        img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
-        img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)
+        if self.fast_warp:
+            from mono_vifi_tpu.ops.pallas.warp import warp_windowed, windowed_ok
+
+            if windowed_ok(img0.shape, (B, H, W, 2)):
+                img0_warp = warp_windowed(img0, flow0_full, tap_dtype=self.dtype)
+                img1_warp = warp_windowed(img1, flow1_full, tap_dtype=self.dtype)
+            else:
+                img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
+                img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)
+        else:
+            img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
+            img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)
         imgt_merge = mask_full * img0_warp + (1 - mask_full) * img1_warp
         imgt_pred = jnp.clip(imgt_merge + mean_, 0.0, 1.0)
 

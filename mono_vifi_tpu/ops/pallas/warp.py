@@ -21,11 +21,10 @@ a.e.-zero gradient is exact).
 
 EXACTNESS CONTRACT: the result equals grid_sample(..., 'border',
 align_corners=True) whenever each output tile's source coordinates span at
-most (WH-1) rows x (WW-1) cols (true for essentially all view-synthesis /
-optical-flow warps at these resolutions; a depth or motion discontinuity
-would need >46 px vertical or >254 px horizontal spread inside one
-8x128-pixel tile to violate it). Out-of-window coordinates clamp to the
-window edge. Use for training-time warps of gradient-free operands; the
+most (WH-8) rows x (WW-130) cols after 8/128-aligned window placement
+(default window (56, 384): ~40 px vertical and ~254 px horizontal budget per
+8x128 output tile — far beyond real view-synthesis / optical-flow locality).
+Out-of-window coordinates clamp to the window edge. Use for training-time warps of gradient-free operands; the
 exact XLA path remains the default and the eval path.
 
 Reference semantics: torch F.grid_sample as used in train.py:966-969 and
@@ -49,8 +48,12 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W):
     y0 = y0_ref[0]  # (8, 128) int32, clamped to [0, H-2]
     x0 = x0_ref[0]
 
-    oy = jnp.clip(jnp.min(y0), 0, max(H - WH, 0))
-    ox = jnp.clip(jnp.min(x0), 0, max(W - WW, 0))
+    # window origin aligned to VMEM tiling (8 sublanes / 128 lanes) so the
+    # dynamic slice is provably aligned for Mosaic
+    oy = (jnp.clip(jnp.min(y0), 0, max(H - WH, 0)) // 8) * 8
+    ox = (jnp.clip(jnp.min(x0), 0, max(W - WW, 0)) // 128) * 128
+    oy = pl.multiple_of(oy, 8)
+    ox = pl.multiple_of(ox, 128)
 
     ly = jnp.clip(y0 - oy, 0, WH - 2)
     lx = jnp.clip(x0 - ox, 0, WW - 2)
@@ -89,21 +92,23 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W):
         t01 = jnp.where(is_y0, right, t01)
         t10 = jnp.where(is_y1, left, t10)
         t11 = jnp.where(is_y1, right, t11)
-    out_ref[0, 0, 0] = t00
-    out_ref[0, 0, 1] = t01
-    out_ref[0, 0, 2] = t10
-    out_ref[0, 0, 3] = t11
+    od = out_ref.dtype
+    out_ref[0, 0, 0] = t00.astype(od)
+    out_ref[0, 0, 1] = t01.astype(od)
+    out_ref[0, 0, 2] = t10.astype(od)
+    out_ref[0, 0, 3] = t11.astype(od)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "align_corners", "interpret")
+    jax.jit, static_argnames=("window", "align_corners", "interpret", "tap_dtype")
 )
 def grid_sample_windowed(
     img: jax.Array,
     grid: jax.Array,
-    window: tuple[int, int] = (48, 256),
+    window: tuple[int, int] = (56, 384),
     align_corners: bool = True,
     interpret: bool = False,
+    tap_dtype=None,
 ) -> jax.Array:
     """Bilinear border-padded sampling via the windowed Pallas kernel.
 
@@ -161,7 +166,7 @@ def grid_sample_windowed(
             lambda b, c, i, j: (b, c, 0, i, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, C, 4, Ho, Wo), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, 4, Ho, Wo), tap_dtype or img.dtype),
         interpret=interpret,
     )(y0, x0, img_chw)
     taps = jax.lax.stop_gradient(taps)
@@ -175,7 +180,19 @@ def grid_sample_windowed(
     return out_chw.transpose(0, 2, 3, 1).astype(img.dtype)
 
 
-def windowed_ok(img_shape, grid_shape, window=(48, 256)) -> bool:
+def warp_windowed(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
+    """Flow-displacement warp via the windowed kernel (same grid convention
+    as ops.sampling.warp / reference networks/IFRNet.py:7-15)."""
+    B, H, W, _ = flow.shape
+    dtype = flow.dtype
+    gx = jax.lax.broadcasted_iota(dtype, (H, W), 1) / ((W - 1.0) / 2.0) - 1.0
+    gy = jax.lax.broadcasted_iota(dtype, (H, W), 0) / ((H - 1.0) / 2.0) - 1.0
+    nx = gx[None] + flow[..., 0] / ((W - 1.0) / 2.0)
+    ny = gy[None] + flow[..., 1] / ((H - 1.0) / 2.0)
+    return grid_sample_windowed(img, jnp.stack([nx, ny], axis=-1), **kwargs)
+
+
+def windowed_ok(img_shape, grid_shape, window=(56, 384)) -> bool:
     """Static predicate: can the windowed kernel serve this call?"""
     B, H, W, C = img_shape
     _, Ho, Wo, _ = grid_shape

@@ -90,10 +90,15 @@ def grid_sample(
         flat = block.reshape(B, H * W, 4 * C)
         idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(B, Ho * Wo, 1)
         g = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, 4, C)
-        g = g.astype(compute_dtype)
-        top = (1.0 - wx) * g[..., 0, :] + wx * g[..., 1, :]
-        bot = (1.0 - wx) * g[..., 2, :] + wx * g[..., 3, :]
-        out = (1.0 - wy) * top + wy * bot
+        # combine in the gathered dtype: upcasting g would materialize a
+        # full-size f32 copy of the 4-tap block (GBs for feature warps), and
+        # matching dtypes keeps the backward scatter-add well-typed
+        wxg = wx.astype(g.dtype)
+        wyg = wy.astype(g.dtype)
+        one = jnp.ones((), g.dtype)
+        top = (one - wxg) * g[..., 0, :] + wxg * g[..., 1, :]
+        bot = (one - wxg) * g[..., 2, :] + wxg * g[..., 3, :]
+        out = (one - wyg) * top + wyg * bot
         return out.astype(img.dtype)
 
     # zeros padding (and degenerate sizes): blocked gather with per-tap

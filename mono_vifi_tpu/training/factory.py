@@ -69,8 +69,12 @@ class ModelBundle:
         )
         self.pose_encoder = posenet.PoseEncoder(cfg.num_layers, dtype)
         self.pose = posenet.PoseDecoder(dtype=dtype)
-        self.vfi_train = ifrnet.IFRNet("large", dtype)
-        self.vfi_test = ifrnet.IFRNet("small", dtype)
+
+        import jax as _jax
+
+        self.fast_warp = bool(cfg.fast_warp) and _jax.default_backend() == "tpu"
+        self.vfi_train = ifrnet.IFRNet("large", dtype, fast_warp=self.fast_warp)
+        self.vfi_test = ifrnet.IFRNet("small", dtype, fast_warp=self.fast_warp)
 
     # ---------------------------------------------------------------- init
     def init_variables(self, rng: jax.Array) -> tuple[dict, dict]:

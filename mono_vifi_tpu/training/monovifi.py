@@ -36,6 +36,7 @@ from mono_vifi_tpu.training.factory import ModelBundle
 from mono_vifi_tpu.ops import geometry, sampling
 from mono_vifi_tpu.ops import image as image_ops
 from mono_vifi_tpu.ops import losses as L
+from mono_vifi_tpu.ops.pallas import warp as pwarp
 
 
 @flax.struct.dataclass
@@ -103,9 +104,16 @@ class MonoViFiStep:
         _, depth = geometry.disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
         grid_n1 = geometry.reprojection_grid(depth, K, invK, T_n1)
         grid_p1 = geometry.reprojection_grid(depth, K, invK, T_p1)
-        gd = self.b.dtype  # bf16 taps in the bf16 compute path (None = exact)
-        pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
-        pred_p1 = _f32(sampling.grid_sample(src_p1, grid_p1, gather_dtype=gd))
+        if getattr(self.b, "fast_warp", False) and pwarp.windowed_ok(
+            src_n1.shape, grid_n1.shape
+        ):
+            td = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
+            pred_n1 = _f32(pwarp.grid_sample_windowed(src_n1, grid_n1, tap_dtype=td))
+            pred_p1 = _f32(pwarp.grid_sample_windowed(src_p1, grid_p1, tap_dtype=td))
+        else:
+            gd = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
+            pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
+            pred_p1 = _f32(sampling.grid_sample(src_p1, grid_p1, gather_dtype=gd))
 
         use_ssim = not cfg.no_ssim
         reproj = jnp.concatenate(

@@ -31,7 +31,8 @@ def _smooth_grid(B, H, W, max_disp_x=40.0, max_disp_y=10.0):
 
 
 def test_windowed_warp_matches_exact():
-    B, H, W, C = 2, 64, 256, 3
+    # W > WW so the aligned-window-placement path is exercised
+    B, H, W, C = 2, 64, 640, 3
     img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
     grid = jnp.asarray(_smooth_grid(B, H, W))
     assert pwarp.windowed_ok(img.shape, grid.shape)
@@ -42,7 +43,7 @@ def test_windowed_warp_matches_exact():
 
 
 def test_windowed_warp_grid_gradients_match():
-    B, H, W, C = 1, 64, 256, 2
+    B, H, W, C = 1, 64, 640, 2
     img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
     grid = jnp.asarray(_smooth_grid(B, H, W, 20.0, 8.0))
 
