@@ -91,6 +91,34 @@ def load_model(args, dataset_tag: str):
         bundle.vfi_test = bundle.vfi_train
     n = sum(count_params(params[r]) for r in ("encoder", "depth_mf", "fusion_module"))
     print(f"  depth+fusion params: {n / 1e6:.2f} M")
+
+    # FLOPs report with per-video amortization (reference
+    # evaluate_depth_mf.py:136-156): in streaming video each frame is
+    # encoded once, so the 3x-encoder cost amortizes to 1x + VFI + fusion.
+    from mono_vifi_tpu.utils import xla_flops
+    import jax.numpy as jnp
+    import jax
+
+    img = jnp.ones((1, args.height, args.width, 3), jnp.float32)
+    embt = jnp.full((1, 1, 1, 1), 0.5, jnp.float32)
+    enc_fn = lambda x: bundle.encoder.apply(
+        {"params": params["encoder"], "batch_stats": bstats["encoder"]}, x,
+        train=False,
+    )[-1]
+    vfi_fn = lambda a, b: bundle.vfi_test.apply(
+        {"params": vfi}, a, b, embt, only_flow=True
+    )["flow0"]
+    f_enc = xla_flops(enc_fn, img)
+    f_vfi = xla_flops(vfi_fn, img, img)
+    full_fn = lambda a, b, c: multi_frame_disp(bundle, params, bstats, vfi, a, b, c)
+    f_full = xla_flops(full_fn, img, img, img)
+    if f_full > 0 and f_enc > 0:
+        amortized = f_full - 2 * f_enc
+        print(
+            f"  flops: full {f_full / 1e9:.2f} G | encoder {f_enc / 1e9:.2f} G | "
+            f"VFI(onlyFlow) {f_vfi / 1e9:.2f} G | amortized/frame "
+            f"{amortized / 1e9:.2f} G"
+        )
     return bundle, params, bstats, vfi
 
 
