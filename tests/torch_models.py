@@ -184,21 +184,19 @@ class ResBlockT(nn.Module):
 
 
 class IFRNetSmallT(nn.Module):
-    """Reference networks/IFRNet.py small variant (:256-349, :352-441)."""
+    """Reference networks/IFRNet.py small/large variants (:160-349, :352-441)."""
 
-    def __init__(self):
+    def __init__(self, c=(24, 36, 54, 72), side=24, first_kernel=3):
         super().__init__()
-        c = (24, 36, 54, 72)
-        side = 24
-        enc = {}
         chans = [3] + list(c)
         self.encoder = nn.Module()
         for i in range(4):
+            k = first_kernel if i == 0 else 3
             setattr(
                 self.encoder,
                 f"pyramid{i + 1}",
                 nn.Sequential(
-                    convreluT(chans[i], chans[i + 1], 3, 2, 1),
+                    convreluT(chans[i], chans[i + 1], k, 2, k // 2),
                     convreluT(chans[i + 1], chans[i + 1], 3, 1, 1),
                 ),
             )
