@@ -79,6 +79,11 @@ class Options:
     debug_nans: bool = False  # enable jax nan-checking (slow; debugging aid)
     fast_warp: bool = True  # windowed Pallas warp for training-time image
     # warps (TPU only; see ops/pallas/warp.py exactness contract)
+    vfi_train_scale: str = "large"  # frozen training-VFI variant
+    # (reference hardcodes large: train.py:210-214); "tiny" exists for
+    # fast-compiling dryruns/tests only
+    vfi_test_scale: str = "small"  # frozen eval-VFI variant (train.py:216-221)
+    distributed: bool = False  # multi-host: call jax.distributed.initialize()
 
     @property
     def use_pose_net(self) -> bool:

@@ -89,13 +89,18 @@ class DataLoader:
                 yield collate(samples)
 
 
-def device_prefetch(iterator, sharding=None, size: int = 2):
-    """Move batches to device ahead of consumption (double buffering)."""
+def device_prefetch(iterator, sharding=None, size: int = 2, put_fn=None):
+    """Move batches to device ahead of consumption (double buffering).
+
+    put_fn overrides the transfer (e.g. parallel.shard_host_local_batch for
+    multi-host global-batch assembly)."""
     import jax
 
     q = collections.deque()
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         if sharding is not None:
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)

@@ -25,8 +25,15 @@ from mono_vifi_tpu.ops.image import resize_bilinear
 from mono_vifi_tpu.ops.sampling import warp
 from mono_vifi_tpu.ops.losses import charbonnier_l1, ternary_loss, geometry_loss
 
-_PYRAMID_CHANNELS = {"large": (64, 96, 144, 192), "small": (24, 36, 54, 72)}
-_SIDE_CHANNELS = {"large": 64, "small": 24}
+_PYRAMID_CHANNELS = {
+    "large": (64, 96, 144, 192),
+    "small": (24, 36, 54, 72),
+    # "tiny" is NOT a reference variant: it exists so multi-chip dryruns and
+    # CPU tests can compile the full train-step graph in minutes instead of
+    # tens of minutes. Same topology, 8x fewer channels.
+    "tiny": (8, 12, 18, 24),
+}
+_SIDE_CHANNELS = {"large": 64, "small": 24, "tiny": 8}
 
 
 class ResBlock(nn.Module):
@@ -169,11 +176,11 @@ class IFRNet(nn.Module):
             return {"flow0": flow0_full, "flow1": flow1_full, "mask": mask_full}
 
         if self.fast_warp:
-            from mono_vifi_tpu.ops.pallas.warp import warp_windowed, windowed_ok
+            from mono_vifi_tpu.ops.pallas.warp import warp_windowed_safe, windowed_ok
 
             if windowed_ok(img0.shape, (B, H, W, 2)):
-                img0_warp = warp_windowed(img0, flow0_full, tap_dtype=self.dtype)
-                img1_warp = warp_windowed(img1, flow1_full, tap_dtype=self.dtype)
+                img0_warp = warp_windowed_safe(img0, flow0_full, tap_dtype=self.dtype)
+                img1_warp = warp_windowed_safe(img1, flow1_full, tap_dtype=self.dtype)
             else:
                 img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
                 img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)

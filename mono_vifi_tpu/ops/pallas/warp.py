@@ -192,6 +192,79 @@ def warp_windowed(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
     return grid_sample_windowed(img, jnp.stack([nx, ny], axis=-1), **kwargs)
 
 
+def _source_coords(img_shape, grid, align_corners=True):
+    """Integer base coords (y0, x0) exactly as the kernel computes them."""
+    _, H, W, _ = img_shape
+    if align_corners:
+        x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+        y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((grid[..., 0] + 1.0) * W - 1.0) * 0.5
+        y = ((grid[..., 1] + 1.0) * H - 1.0) * 0.5
+    x0 = jnp.clip(jnp.floor(jnp.clip(x, 0.0, W - 1)), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(jnp.clip(y, 0.0, H - 1)), 0, H - 2).astype(jnp.int32)
+    return jax.lax.stop_gradient(y0), jax.lax.stop_gradient(x0)
+
+
+def spans_ok(y0: jax.Array, x0: jax.Array, window=(56, 384)) -> jax.Array:
+    """Scalar bool: does every output tile's source-coordinate span fit the
+    exactness window? (max-min per 8x128 tile, plus the <=7/<=127 alignment
+    slack of the 8/128-aligned window origin.)"""
+    WH, WW = window
+    B, Ho, Wo = y0.shape
+    ty, tx = Ho // TILE_H, Wo // TILE_W
+    yr = y0.reshape(B, ty, TILE_H, tx, TILE_W)
+    xr = x0.reshape(B, ty, TILE_H, tx, TILE_W)
+    span_y = jnp.max(yr, (2, 4)) - jnp.min(yr, (2, 4))
+    span_x = jnp.max(xr, (2, 4)) - jnp.min(xr, (2, 4))
+    return jnp.logical_and(
+        jnp.all(span_y <= WH - 9), jnp.all(span_x <= WW - 129)
+    )
+
+
+def grid_sample_windowed_safe(
+    img: jax.Array,
+    grid: jax.Array,
+    window: tuple[int, int] = (56, 384),
+    align_corners: bool = True,
+    tap_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed kernel with a runtime max-source-offset guard: when any
+    output tile's coordinate span exceeds the exactness window (possible
+    early in training, when random-init depth yields wild reprojection
+    offsets), fall back to the exact XLA gather path for the whole call.
+    Both paths match torch grid_sample border/align_corners=True semantics;
+    the fallback makes the windowed path exact *unconditionally*."""
+    from mono_vifi_tpu.ops import sampling
+
+    y0, x0 = _source_coords(img.shape, grid, align_corners)
+    ok = spans_ok(y0, x0, window)
+    return jax.lax.cond(
+        ok,
+        lambda im, g: grid_sample_windowed(
+            im, g, window=window, align_corners=align_corners,
+            tap_dtype=tap_dtype, interpret=interpret,
+        ),
+        lambda im, g: sampling.grid_sample(
+            im, g, align_corners=align_corners, gather_dtype=tap_dtype
+        ).astype(im.dtype),
+        img,
+        grid,
+    )
+
+
+def warp_windowed_safe(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
+    """Flow-displacement warp with the runtime exactness guard."""
+    B, H, W, _ = flow.shape
+    dtype = flow.dtype
+    gx = jax.lax.broadcasted_iota(dtype, (H, W), 1) / ((W - 1.0) / 2.0) - 1.0
+    gy = jax.lax.broadcasted_iota(dtype, (H, W), 0) / ((H - 1.0) / 2.0) - 1.0
+    nx = gx[None] + flow[..., 0] / ((W - 1.0) / 2.0)
+    ny = gy[None] + flow[..., 1] / ((H - 1.0) / 2.0)
+    return grid_sample_windowed_safe(img, jnp.stack([nx, ny], axis=-1), **kwargs)
+
+
 def windowed_ok(img_shape, grid_shape, window=(56, 384)) -> bool:
     """Static predicate: can the windowed kernel serve this call?"""
     B, H, W, C = img_shape

@@ -74,20 +74,49 @@ def load_checkpoint(path: str) -> dict:
         return pickle.load(f)
 
 
-def merge_params(target: Any, loaded: Any):
+def merge_params(target: Any, loaded: Any, _path: str = "", _skipped=None):
     """Key-intersection merge (missing keys keep the init values), matching
-    reference load_ckpt tolerance (train.py:1149-1154)."""
+    reference load_ckpt tolerance (train.py:1149-1154).
+
+    Every key that is NOT taken from the checkpoint (missing, or present with
+    a mismatched shape) is logged at WARNING level — a silently-random
+    "successful" load of a wrong-backbone checkpoint is a debugging trap.
+    """
+    import logging
+
+    top = _skipped is None
+    if top:
+        _skipped = []
     if isinstance(target, dict) and isinstance(loaded, dict):
         out = {}
         for k, v in target.items():
-            out[k] = merge_params(v, loaded[k]) if k in loaded else v
-        return out
-    if loaded is None:
-        return target
-    loaded = np.asarray(loaded)
-    if hasattr(target, "shape") and tuple(target.shape) != tuple(loaded.shape):
-        return target
-    return loaded
+            p = f"{_path}/{k}" if _path else k
+            if k in loaded:
+                out[k] = merge_params(v, loaded[k], p, _skipped)
+            else:
+                out[k] = v
+                _skipped.append(f"{p} (missing)")
+        result = out
+    elif loaded is None:
+        _skipped.append(f"{_path} (None in checkpoint)")
+        result = target
+    else:
+        loaded = np.asarray(loaded)
+        if hasattr(target, "shape") and tuple(target.shape) != tuple(loaded.shape):
+            _skipped.append(
+                f"{_path} (shape {tuple(loaded.shape)} != {tuple(target.shape)})"
+            )
+            result = target
+        else:
+            result = loaded
+    if top and _skipped:
+        logging.getLogger("mono_vifi_tpu").warning(
+            "merge_params: %d keys kept their init values: %s%s",
+            len(_skipped),
+            ", ".join(_skipped[:12]),
+            " ..." if len(_skipped) > 12 else "",
+        )
+    return result
 
 
 def load_reference_pth(path: str, cfg, num_levels: int = 5) -> dict:

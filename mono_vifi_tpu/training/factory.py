@@ -73,8 +73,12 @@ class ModelBundle:
         import jax as _jax
 
         self.fast_warp = bool(cfg.fast_warp) and _jax.default_backend() == "tpu"
-        self.vfi_train = ifrnet.IFRNet("large", dtype, fast_warp=self.fast_warp)
-        self.vfi_test = ifrnet.IFRNet("small", dtype, fast_warp=self.fast_warp)
+        self.vfi_train = ifrnet.IFRNet(
+            getattr(cfg, "vfi_train_scale", "large"), dtype, fast_warp=self.fast_warp
+        )
+        self.vfi_test = ifrnet.IFRNet(
+            getattr(cfg, "vfi_test_scale", "small"), dtype, fast_warp=self.fast_warp
+        )
 
     # ---------------------------------------------------------------- init
     def init_variables(self, rng: jax.Array) -> tuple[dict, dict]:

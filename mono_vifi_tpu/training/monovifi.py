@@ -108,8 +108,10 @@ class MonoViFiStep:
             src_n1.shape, grid_n1.shape
         ):
             td = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
-            pred_n1 = _f32(pwarp.grid_sample_windowed(src_n1, grid_n1, tap_dtype=td))
-            pred_p1 = _f32(pwarp.grid_sample_windowed(src_p1, grid_p1, tap_dtype=td))
+            # _safe: runtime span guard falls back to the exact gather when
+            # early-training depth produces out-of-window offsets
+            pred_n1 = _f32(pwarp.grid_sample_windowed_safe(src_n1, grid_n1, tap_dtype=td))
+            pred_p1 = _f32(pwarp.grid_sample_windowed_safe(src_p1, grid_p1, tap_dtype=td))
         else:
             gd = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
             pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
@@ -413,11 +415,15 @@ class MonoViFiStep:
 
 
 def create_train_state(cfg: Options, rng, steps_per_epoch: int = 1000):
-    """Build models, init params, and assemble optimizer + TrainState."""
+    """Build models, init params (ImageNet-pretrained encoders when
+    weights_init="pretrained", reference train.py:142-190), and assemble
+    optimizer + TrainState."""
     from mono_vifi_tpu.training.optim import make_optimizer
+    from mono_vifi_tpu.training.pretrained import apply_pretrained
 
     bundle = ModelBundle(cfg)
     params, bstats = bundle.init_variables(rng)
+    params, bstats = apply_pretrained(cfg, params, bstats)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

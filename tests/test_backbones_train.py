@@ -11,6 +11,7 @@ from mono_vifi_tpu.training.monovifi import MonoViFiStep
 from tests.test_train_step import make_batch
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backbone", ["LiteMono", "DHRNet"])
 def test_backbone_train_step(backbone):
     cfg = Options(
@@ -21,6 +22,8 @@ def test_backbone_train_step(backbone):
         backbone=backbone,
         compute_dtype="float32",
         fuse_model_type="shared_encoder",
+        vfi_train_scale="tiny",
+        vfi_test_scale="tiny",
     )
     bundle, tx, state = monovifi.create_train_state(cfg, jax.random.PRNGKey(0), 10)
     vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
@@ -34,7 +37,8 @@ def test_backbone_train_step(backbone):
 @pytest.mark.parametrize("backbone", ["LiteMono", "DHRNet"])
 def test_backbone_eval_forwards(backbone):
     cfg = Options(height=64, width=96, batch_size=1, backbone=backbone,
-                  compute_dtype="float32")
+                  compute_dtype="float32",
+                  vfi_train_scale="tiny", vfi_test_scale="tiny")
     bundle, tx, state = monovifi.create_train_state(cfg, jax.random.PRNGKey(0), 10)
     vfi_small = bundle.init_vfi(jax.random.PRNGKey(1), "test")
     img = jax.numpy.asarray(

@@ -58,6 +58,32 @@ def test_windowed_warp_grid_gradients_match():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(ge), atol=1e-3, rtol=1e-3)
 
 
+def test_safe_fallback_on_adversarial_flows():
+    """Large random flows (early-training random-depth regime) exceed the
+    window contract; the _safe variant must detect it and return the exact
+    result via the fallback path."""
+    B, H, W, C = 1, 64, 640, 3
+    img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
+    # fully random coords all over the image: per-tile span ~ W
+    grid = jnp.asarray(
+        RNG.uniform(-1, 1, (B, H, W, 2)).astype(np.float32)
+    )
+    y0, x0 = pwarp._source_coords(img.shape, grid)
+    assert not bool(pwarp.spans_ok(y0, x0))
+
+    exact = sampling.grid_sample(img, grid, "border", True)
+    safe = pwarp.grid_sample_windowed_safe(img, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(safe), np.asarray(exact), atol=1e-5)
+
+    # while smooth flows take the windowed path and still match
+    grid_s = jnp.asarray(_smooth_grid(B, H, W))
+    y0, x0 = pwarp._source_coords(img.shape, grid_s)
+    assert bool(pwarp.spans_ok(y0, x0))
+    safe_s = pwarp.grid_sample_windowed_safe(img, grid_s, interpret=True)
+    exact_s = sampling.grid_sample(img, grid_s, "border", True)
+    np.testing.assert_allclose(np.asarray(safe_s), np.asarray(exact_s), atol=1e-5)
+
+
 def test_windowed_ok_predicate():
     assert not pwarp.windowed_ok((1, 64, 256, 3), (1, 60, 256, 2))  # Ho % 8
     assert not pwarp.windowed_ok((1, 64, 256, 3), (1, 64, 200, 2))  # Wo % 128

@@ -64,6 +64,8 @@ def setup():
         use_affine=True,
         compute_dtype="float32",
         fuse_model_type="shared_encoder",
+        vfi_train_scale="tiny",  # step-mechanics test: tiny frozen VFI
+        vfi_test_scale="tiny",   # keeps the CPU compile in seconds
     )
     rng = jax.random.PRNGKey(0)
     bundle, tx, state = monovifi.create_train_state(cfg, rng, steps_per_epoch=10)
@@ -113,6 +115,7 @@ def test_eval_forwards(setup):
     assert np.isfinite(np.asarray(disp_mf)).all()
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8_devices():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -124,6 +127,8 @@ def test_train_step_sharded_8_devices():
         use_affine=False,
         compute_dtype="float32",
         fuse_model_type="shared_encoder",
+        vfi_train_scale="tiny",
+        vfi_test_scale="tiny",
     )
     bundle, tx, state = monovifi.create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=10
@@ -145,3 +150,25 @@ def test_train_step_sharded_8_devices():
     # grads are averaged across the mesh -> params identical (replicated)
     leaf = jax.tree.leaves(state1.params["depth"])[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+    # DDP-equivalence contract (reference train.py:205-227): the 8-way
+    # data-parallel step must produce the same updated params as the same
+    # global batch on ONE device (GSPMD BatchNorm == SyncBN semantics).
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    batch_1 = jax.device_put(batch, NamedSharding(mesh1, P("data")))
+    state_1 = jax.device_put(
+        jax.tree.map(np.asarray, state), NamedSharding(mesh1, P())
+    )
+    vfi_1 = jax.device_put(
+        jax.tree.map(np.asarray, vfi_params), NamedSharding(mesh1, P())
+    )
+    state1_single, metrics_single = step(state_1, vfi_1, batch_1, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_single["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(state1.params), jax.tree.leaves(state1_single.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )

@@ -32,6 +32,7 @@ def kitti_env(tmp_path_factory):
     return str(root), str(splits.parent.parent)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(kitti_env, tmp_path, monkeypatch):
     data_path, splits_dir = kitti_env
     import train as train_mod
@@ -57,6 +58,8 @@ def test_trainer_end_to_end(kitti_env, tmp_path, monkeypatch):
         save_frequency=100,
         seed=1,
         num_devices=1,
+        vfi_train_scale="tiny",
+        vfi_test_scale="tiny",
     )
     trainer = train_mod.Trainer(cfg)
     assert trainer.steps_per_epoch == 3

@@ -29,8 +29,15 @@ from mono_vifi_tpu.data import (
     NYUDataset,
     StatefulSampler,
 )
+from mono_vifi_tpu.data.samplers import StatefulDistributedSampler
 from mono_vifi_tpu.data.loader import device_prefetch
-from mono_vifi_tpu.parallel import make_mesh, data_sharding, replicated
+from mono_vifi_tpu.parallel import (
+    data_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+    shard_host_local_batch,
+)
 from mono_vifi_tpu.training import checkpoint as ckpt_lib
 from mono_vifi_tpu.training.factory import ModelBundle
 from mono_vifi_tpu.training.monovifi import (
@@ -56,28 +63,36 @@ class Trainer:
     def __init__(self, cfg: Options):
         self.cfg = cfg
         assert cfg.height % 32 == 0 and cfg.width % 32 == 0, "H, W must be x32"
+        # multi-host rendezvous before any other JAX use (reference
+        # dist.init_process_group, train.py:1179-1183)
+        self.rank, self.world = initialize_distributed(cfg)
+        self.is_chief = self.rank == 0
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
         self.log_path = os.path.join(cfg.log_dir, cfg.exp_name)
         os.makedirs(self.log_path, exist_ok=True)
         setup_logging(os.path.join(self.log_path, "logger.log"),
-                      filemode="a" if cfg.resume else "w")
-        self.save_opts()
+                      filemode="a" if cfg.resume else "w",
+                      rank=self.rank)
+        if self.is_chief:
+            self.save_opts()
 
         self.mesh = make_mesh(cfg.num_devices or None)
         self.n_dev = self.mesh.devices.size
-        logging.info("Experiment: %s | devices: %d | backbone: %s",
-                     cfg.exp_name, self.n_dev, cfg.backbone)
+        logging.info("Experiment: %s | devices: %d (%d processes) | backbone: %s",
+                     cfg.exp_name, self.n_dev, self.world, cfg.backbone)
 
-        try:  # TensorBoard scalars (reference train.py:45-47, :1062-1067)
-            from tensorboardX import SummaryWriter
+        self.writer = None
+        if self.is_chief:
+            try:  # TensorBoard scalars (reference train.py:45-47, :1062-1067)
+                from tensorboardX import SummaryWriter
 
-            self.writer = SummaryWriter(
-                os.path.join(self.log_path, "tensorboard", "train")
-            )
-        except ImportError:
-            self.writer = None
+                self.writer = SummaryWriter(
+                    os.path.join(self.log_path, "tensorboard", "train")
+                )
+            except ImportError:
+                pass
 
         # ---------------- data
         if cfg.dataset == "kitti":
@@ -109,17 +124,27 @@ class Trainer:
             cfg.data_path, test_files, cfg.height, cfg.width, [0, -1, 1],
             cfg.num_scales, is_train=False, img_ext=img_ext,
         )
+        # per-device batch semantics match the reference's per-GPU batch
+        # (train.py:106); each process loads only its slice of the global
+        # batch (local = global / process_count)
         self.global_batch = cfg.batch_size * self.n_dev
-        self.sampler = StatefulSampler(len(self.train_dataset), cfg.seed)
+        self.local_batch = self.global_batch // self.world
+        if self.world > 1:
+            self.sampler = StatefulDistributedSampler(
+                len(self.train_dataset), cfg.seed,
+                rank=self.rank, num_replicas=self.world,
+            )
+        else:
+            self.sampler = StatefulSampler(len(self.train_dataset), cfg.seed)
         self.train_loader = DataLoader(
-            self.train_dataset, self.global_batch, sampler=self.sampler,
+            self.train_dataset, self.local_batch, sampler=self.sampler,
             num_workers=cfg.num_workers, drop_last=True,
         )
         self.test_loader = DataLoader(
             self.test_dataset, self.global_batch, num_workers=cfg.num_workers,
             drop_last=False,
         )
-        self.steps_per_epoch = len(self.train_dataset) // self.global_batch
+        self.steps_per_epoch = len(self.sampler) // self.local_batch
         self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
 
         self.gt_depths = self._load_gt_depths()
@@ -263,6 +288,8 @@ class Trainer:
             )
 
     def save_model(self, epoch: int, batch_idx: int = 0, ep_end: bool = False):
+        if not self.is_chief:  # rank-0 saves, like reference train.py:302-303
+            return
         if ep_end:
             ckpt_lib.save_weights(
                 os.path.join(self.log_path, "models", f"model_{epoch}.pkl"),
@@ -291,12 +318,11 @@ class Trainer:
         """Per-epoch NYUv2 eval (reference train.py:305-354)."""
         logging.info("NYUv2 eval at epoch %d", epoch)
         ds = self.test_dataset
+        params, batch_stats, _ = self._eval_vars()
         preds, gts = [], []
         for i in range(len(ds)):
             rgb, depth = ds.load_test_item(i)
-            d = self._sf_disp(
-                self.state.params, self.state.batch_stats, jnp.asarray(rgb)[None]
-            )
+            d = self._sf_disp(params, batch_stats, jnp.asarray(rgb)[None])
             from mono_vifi_tpu.ops.geometry import disp_to_depth
 
             sd, _ = disp_to_depth(d, self.cfg.min_depth, self.cfg.max_depth)
@@ -308,7 +334,7 @@ class Trainer:
         cfg = self.cfg
         logging.info("Training epoch %d", epoch)
         self.sampler.set_epoch(epoch)
-        self.sampler.set_start_iter(self.batch_start * self.global_batch)
+        self.sampler.set_start_iter(self.batch_start * self.local_batch)
         self.train_dataset.set_epoch(epoch)
 
         profiling = False
@@ -319,7 +345,11 @@ class Trainer:
             logging.info("Capturing jax.profiler trace to %s", trace_dir)
 
         t_data = time.perf_counter()
-        it = device_prefetch(self.train_loader, self.data_sharding)
+        put = (
+            (lambda b: shard_host_local_batch(b, self.mesh))
+            if self.world > 1 else None
+        )
+        it = device_prefetch(self.train_loader, self.data_sharding, put_fn=put)
         for batch_idx, batch in enumerate(it):
             step_rng = jax.random.fold_in(self.rng, int(self.state.step))
             t_fp = time.perf_counter()
@@ -353,7 +383,20 @@ class Trainer:
         self.batch_start = 0
 
     # ------------------------------------------------------------------ eval
+    def _eval_vars(self):
+        """Params/stats usable by the per-host eval jits. Multi-host: pull
+        the (replicated, hence fully addressable) global arrays to host and
+        re-put on local devices so eval runs process-local without
+        cross-host collectives."""
+        if self.world == 1:
+            return self.state.params, self.state.batch_stats, self.vfi_small_params
+        loc = lambda t: jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), t)
+        return loc(self.state.params), loc(self.state.batch_stats), loc(
+            self.vfi_small_params
+        )
+
     def _predict_disps(self, multi_frame: bool):
+        params, batch_stats, vfi_small = self._eval_vars()
         disps = []
         for batch in self.test_loader:
             n = batch["color_0"].shape[0]
@@ -365,14 +408,11 @@ class Trainer:
                 return jnp.asarray(x)
             if multi_frame:
                 d = self._mf_disp(
-                    self.state.params, self.state.batch_stats,
-                    self.vfi_small_params,
+                    params, batch_stats, vfi_small,
                     get("color_n1"), get("color_0"), get("color_p1"),
                 )
             else:
-                d = self._sf_disp(
-                    self.state.params, self.state.batch_stats, get("color_0")
-                )
+                d = self._sf_disp(params, batch_stats, get("color_0"))
             from mono_vifi_tpu.ops.geometry import disp_to_depth
 
             sd, _ = disp_to_depth(d, self.cfg.min_depth, self.cfg.max_depth)

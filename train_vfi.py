@@ -43,14 +43,19 @@ SPLITS_DIR = os.path.join(os.path.dirname(__file__), "splits")
 class VFITrainer:
     def __init__(self, cfg):
         self.cfg = cfg
+        from mono_vifi_tpu.parallel import initialize_distributed
+
+        self.rank, self.world = initialize_distributed(cfg)
+        self.is_chief = self.rank == 0
         self.log_path = os.path.join(cfg.log_dir, cfg.exp_name)
         os.makedirs(self.log_path, exist_ok=True)
         setup_logging(os.path.join(self.log_path, "logger.log"),
-                      filemode="a" if cfg.resume else "w")
+                      filemode="a" if cfg.resume else "w", rank=self.rank)
 
         self.mesh = make_mesh(cfg.num_devices or None)
         self.n_dev = self.mesh.devices.size
         self.global_batch = cfg.batch_size * self.n_dev
+        self.local_batch = self.global_batch // self.world
 
         if cfg.dataset == "kitti":
             files = readlines(
@@ -69,10 +74,18 @@ class VFITrainer:
         else:
             raise ValueError(cfg.dataset)
 
-        self.sampler = StatefulSampler(len(self.dataset), cfg.seed)
-        self.loader = DataLoader(self.dataset, self.global_batch,
+        if self.world > 1:
+            from mono_vifi_tpu.data.samplers import StatefulDistributedSampler
+
+            self.sampler = StatefulDistributedSampler(
+                len(self.dataset), cfg.seed, rank=self.rank,
+                num_replicas=self.world,
+            )
+        else:
+            self.sampler = StatefulSampler(len(self.dataset), cfg.seed)
+        self.loader = DataLoader(self.dataset, self.local_batch,
                                  sampler=self.sampler, num_workers=cfg.num_workers)
-        self.steps_per_epoch = len(self.dataset) // self.global_batch
+        self.steps_per_epoch = len(self.sampler) // self.local_batch
         self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
 
         self.module, self.tx, self.state = create_vfi_state(
@@ -90,6 +103,16 @@ class VFITrainer:
         self.step_fn = jax.jit(
             make_vfi_train_step(self.module, self.tx), donate_argnums=0
         )
+        self.writer = None
+        if self.is_chief:
+            try:  # TB scalars + image/flow panels (reference train_vfi.py:251-268)
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    os.path.join(self.log_path, "tensorboard", "train")
+                )
+            except ImportError:
+                pass
         logging.info(
             "VFI training: %s (%s) | %d items | %d steps/epoch | %d devices",
             cfg.dataset, cfg.vfi_scale, len(self.dataset), self.steps_per_epoch,
@@ -130,6 +153,8 @@ class VFITrainer:
         logging.info("Resumed at epoch %d batch %d", self.ep_start, self.batch_start)
 
     def save_model(self, epoch, batch_idx=0, ep_end=False):
+        if not self.is_chief:
+            return
         payload = {
             "params": {"VFI": jax.tree.map(np.asarray, self.state.params)},
             "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
@@ -156,16 +181,28 @@ class VFITrainer:
         bottom = np.concatenate([fl0 / 255.0, fl1 / 255.0], 1)
         panel = (np.concatenate([top, bottom], 0) * 255).astype(np.uint8)
         Image.fromarray(panel).save(os.path.join(vis_dir, f"step_{step}.jpeg"))
+        if self.writer is not None:  # reference train_vfi.py:251-268
+            self.writer.add_image("img1_gt", gt, step, dataformats="HWC")
+            self.writer.add_image("img1_pred", pred, step, dataformats="HWC")
+            self.writer.add_image("flow0", fl0.astype(np.uint8), step,
+                                  dataformats="HWC")
+            self.writer.add_image("flow1", fl1.astype(np.uint8), step,
+                                  dataformats="HWC")
 
     def train(self):
         cfg = self.cfg
         for epoch in range(self.ep_start, cfg.num_epochs):
             self.sampler.set_epoch(epoch)
-            self.sampler.set_start_iter(self.batch_start * self.global_batch)
+            self.sampler.set_start_iter(self.batch_start * self.local_batch)
             self.dataset.set_epoch(epoch)
             t0 = time.perf_counter()
+            put = None
+            if self.world > 1:
+                from mono_vifi_tpu.parallel import shard_host_local_batch
+
+                put = lambda b: shard_host_local_batch(b, self.mesh)
             for batch_idx, batch in enumerate(
-                device_prefetch(self.loader, self.data_sharding)
+                device_prefetch(self.loader, self.data_sharding, put_fn=put)
             ):
                 self.state, metrics, aux = self.step_fn(self.state, batch)
                 gidx = batch_idx + self.batch_start
@@ -180,7 +217,12 @@ class VFITrainer:
                         epoch, cfg.num_epochs - 1, gidx, self.steps_per_epoch,
                         dt, loss, psnr, sec_to_hm_str(eta),
                     )
-                    self._log_visuals(batch, aux, int(self.state.step))
+                    if self.writer is not None:
+                        self.writer.add_scalar("loss", loss, int(self.state.step))
+                        self.writer.add_scalar("psnr", psnr, int(self.state.step))
+                    if self.world == 1 and self.is_chief:  # batch-sharded arrays
+                        # aren't addressable cross-host; visuals single-host only
+                        self._log_visuals(batch, aux, int(self.state.step))
                 if gidx > 0 and gidx % cfg.save_frequency == 0:
                     self.save_model(epoch, batch_idx=gidx + 1)
                 t0 = time.perf_counter()
