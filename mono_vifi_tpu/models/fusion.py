@@ -18,6 +18,7 @@ import flax.linen as nn
 from mono_vifi_tpu.models.common import ConvBlock1x1
 from mono_vifi_tpu.ops.image import resize_bilinear
 from mono_vifi_tpu.ops.sampling import warp
+from mono_vifi_tpu.ops.pallas.splat import warp_frozen_flow
 
 
 def embed_flow(x: jax.Array, num_freqs: int = 10) -> jax.Array:
@@ -55,6 +56,7 @@ class FusionModule(nn.Module):
     backbone: str = "ResNet18"
     embed_multires: int = 10
     dtype: jnp.dtype | None = None
+    fast_grad_warp: bool = False  # MXU-splat image adjoint (training on TPU)
 
     def _embedding_pyramid(self, flow):
         """Progressively halved + value-rescaled flow embeddings per level."""
@@ -68,16 +70,24 @@ class FusionModule(nn.Module):
             oups.append(embed_flow(x, self.embed_multires))
         return oups
 
-    @staticmethod
-    def _warp_pyramid(features, flow):
-        """Warp each pyramid level by the flow resized+rescaled to its size."""
+    def _warp_pyramid(self, features, flow):
+        """Warp each pyramid level by the flow resized+rescaled to its size.
+
+        The VFI flow is frozen (reference train.py:715-718 no_grad), so with
+        `fast_grad_warp` the warp goes through the custom-VJP path whose
+        image adjoint is the MXU splat kernel instead of XLA's scatter-add
+        (the single most expensive backward op group of the train step).
+        """
         out = []
         fh, fw = flow.shape[1], flow.shape[2]
         for feat in features:
             H, W = feat.shape[1], feat.shape[2]
             scale = jnp.asarray([W / fw, H / fh], flow.dtype)
             flow_ = resize_bilinear(flow, (H, W)) * scale
-            out.append(warp(feat, flow_))
+            if self.fast_grad_warp:
+                out.append(warp_frozen_flow(feat, flow_))
+            else:
+                out.append(warp(feat, flow_))
         return out
 
     @nn.compact

@@ -132,11 +132,20 @@ def _rotation_grid(
     return jnp.stack([gx, gy], axis=-1)
 
 
-def rotate_bilinear(img: jax.Array, angle_deg: jax.Array) -> jax.Array:
+def rotate_bilinear(
+    img: jax.Array, angle_deg: jax.Array, grad_via_splat: bool = False
+) -> jax.Array:
     """Batched rotation (one angle per sample), bilinear, zero fill.
 
     Replaces the reference's per-sample torchvision rotate loop
     (train.py:898, :915) with a single batched warp.
+
+    With `grad_via_splat` (training-time rotations of gradient-carrying
+    tensors, e.g. the SADC depth restore), the backward w.r.t. img goes
+    through the MXU splat kernel instead of XLA's scatter-add; the grid
+    (batch-constant angles) gets no gradient. The splat window is sized
+    for rotations up to ~6 degrees — larger angles trip the runtime guard
+    and fall back to the exact scatter.
 
     Args:
       img: (B, H, W, C).
@@ -144,64 +153,82 @@ def rotate_bilinear(img: jax.Array, angle_deg: jax.Array) -> jax.Array:
     """
     B, H, W, _ = img.shape
     grid = _rotation_grid(angle_deg, H, W)
+    if grad_via_splat:
+        from mono_vifi_tpu.ops.pallas.splat import grid_sample_frozen_grid
+
+        rows = -(-int(2 * (W / 2) * 0.105 + 12) // 8) * 8  # sin(6 deg)
+        return grid_sample_frozen_grid(
+            img, grid, "zeros", (rows, 0)
+        )
     return grid_sample(img, grid, padding_mode="zeros", align_corners=True)
+
+
+def _interp_rows(src: jax.Array, inside: jax.Array, out_size: int,
+                 in_size: int) -> jax.Array:
+    """Per-sample 1-D interpolation matrix (B, out_size, in_size) from float
+    source coordinates `src` (B, out_size), already clamped to [0, in_size-1];
+    `inside` (B, out_size) zeroes whole output rows (place-resize canvas)."""
+    i0 = jnp.clip(jnp.floor(src), 0, in_size - 2)
+    f = (src - i0)[..., None]
+    i = jnp.arange(in_size, dtype=src.dtype)
+    i0 = i0[..., None]
+    M = (i == i0) * (1.0 - f) + (i == i0 + 1) * f
+    return M * inside[..., None]
 
 
 def batched_crop_resize(img: jax.Array, box: jax.Array) -> jax.Array:
     """Crop per-sample `box` = (x0, y0, w, h) and resize back to (H, W).
 
     Bilinear align_corners=False within the crop (exactly
-    `F.interpolate(img[..., y0:y0+h, x0:x0+w], (H, W))`), as one batched
-    grid_sample — the coordinate clamp to the crop interior reproduces
-    torch's boundary handling. (Reference train.py:899-900.)
-
-    Args:
-      img: (B, H, W, C).
-      box: (B, 4) float or int (x0, y0, w, h) in pixels.
+    `F.interpolate(img[..., y0:y0+h, x0:x0+w], (H, W))`), reference
+    train.py:899-900. The map is axis-separable, so instead of a per-pixel
+    gather (rate-bound at ~25M rows/s on TPU — this op was the hottest of
+    the whole train step) it is computed as two per-sample interpolation
+    MATMULS riding the MXU; gradients are transposed matmuls (no scatter).
     """
     B, H, W, _ = img.shape
     box = box.astype(jnp.float32)
     x0, y0 = box[:, 0], box[:, 1]
     w, h = box[:, 2], box[:, 3]
 
-    j = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    i = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    sx = (j[None] + 0.5) * (w / W)[:, None, None] - 0.5
-    sy = (i[None] + 0.5) * (h / H)[:, None, None] - 0.5
-    sx = jnp.clip(sx, 0.0, (w - 1)[:, None, None]) + x0[:, None, None]
-    sy = jnp.clip(sy, 0.0, (h - 1)[:, None, None]) + y0[:, None, None]
-    gx = (sx / (W - 1) - 0.5) * 2.0
-    gy = (sy / (H - 1) - 0.5) * 2.0
-    grid = jnp.stack([gx, gy], axis=-1)
-    return grid_sample(img, grid, padding_mode="border", align_corners=True)
+    j = jnp.arange(W, dtype=jnp.float32)[None]
+    i = jnp.arange(H, dtype=jnp.float32)[None]
+    sx = jnp.clip((j + 0.5) * (w / W)[:, None] - 0.5, 0.0, (w - 1)[:, None])
+    sy = jnp.clip((i + 0.5) * (h / H)[:, None] - 0.5, 0.0, (h - 1)[:, None])
+    sx = sx + x0[:, None]
+    sy = sy + y0[:, None]
+    one = jnp.ones_like(sy)
+    My = _interp_rows(sy, one, H, H)  # (B, H, H)
+    Mx = _interp_rows(sx, jnp.ones_like(sx), W, W)  # (B, W, W)
+    hp = jax.lax.Precision.HIGHEST if img.dtype == jnp.float32 else None
+    y = jnp.einsum("boh,bhwc->bowc", My.astype(img.dtype), img, precision=hp)
+    return jnp.einsum("bpw,bowc->bopc", Mx.astype(img.dtype), y, precision=hp)
 
 
 def batched_place_resize(img: jax.Array, box: jax.Array) -> jax.Array:
     """Resize each sample to (h, w) and place at (x0, y0) in a zero canvas.
 
     Exactly `canvas[y0:y0+h, x0:x0+w] = F.interpolate(img, (h, w))` with
-    per-sample boxes, as one batched warp (reference train.py:912-914).
-
-    Args:
-      img: (B, H, W, C).
-      box: (B, 4) (x0, y0, w, h).
+    per-sample boxes (reference train.py:912-914). Axis-separable like
+    `batched_crop_resize`, so computed as two per-sample interpolation
+    matmuls (outside-canvas rows/cols get all-zero matrix rows) — no
+    gather forward, no scatter backward.
     """
     B, H, W, _ = img.shape
     box = box.astype(jnp.float32)
     x0, y0 = box[:, 0], box[:, 1]
     w, h = box[:, 2], box[:, 3]
 
-    j = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    i = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    jj = j[None] - x0[:, None, None]  # coords within the placed patch
-    ii = i[None] - y0[:, None, None]
-    inside = (jj >= 0) & (jj < w[:, None, None]) & (ii >= 0) & (ii < h[:, None, None])
-    sx = (jj + 0.5) * (W / w)[:, None, None] - 0.5
-    sy = (ii + 0.5) * (H / h)[:, None, None] - 0.5
-    sx = jnp.clip(sx, 0.0, W - 1)
-    sy = jnp.clip(sy, 0.0, H - 1)
-    gx = (sx / (W - 1) - 0.5) * 2.0
-    gy = (sy / (H - 1) - 0.5) * 2.0
-    grid = jnp.stack([gx, gy], axis=-1)
-    out = grid_sample(img, grid, padding_mode="border", align_corners=True)
-    return jnp.where(inside[..., None], out, jnp.zeros((), img.dtype))
+    j = jnp.arange(W, dtype=jnp.float32)[None]
+    i = jnp.arange(H, dtype=jnp.float32)[None]
+    jj = j - x0[:, None]  # coords within the placed patch
+    ii = i - y0[:, None]
+    inside_x = (jj >= 0) & (jj < w[:, None])
+    inside_y = (ii >= 0) & (ii < h[:, None])
+    sx = jnp.clip((jj + 0.5) * (W / w)[:, None] - 0.5, 0.0, W - 1)
+    sy = jnp.clip((ii + 0.5) * (H / h)[:, None] - 0.5, 0.0, H - 1)
+    My = _interp_rows(sy, inside_y.astype(jnp.float32), H, H)
+    Mx = _interp_rows(sx, inside_x.astype(jnp.float32), W, W)
+    hp = jax.lax.Precision.HIGHEST if img.dtype == jnp.float32 else None
+    y = jnp.einsum("boh,bhwc->bowc", My.astype(img.dtype), img, precision=hp)
+    return jnp.einsum("bpw,bowc->bopc", Mx.astype(img.dtype), y, precision=hp)

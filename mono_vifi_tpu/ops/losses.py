@@ -74,6 +74,69 @@ def smooth_loss(disp: jax.Array, img: jax.Array) -> jax.Array:
     return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
 
 
+# --------------------------------------------------------------------------
+# Channel-planar photometric path (TPU layout optimization)
+#
+# NHWC tensors with tiny minor dims (C=3 images, C=1 disparity) get
+# catastrophic (8, 128)-tile lane padding in elementwise/reduce_window
+# chains on TPU (up to 42x memory amplification). The planar variants take
+# (B, C, H, W) so the tiled pair is (H, W) — W is a multiple of 128 for all
+# training resolutions — and reduce over the leading channel axis. Loss
+# semantics are bit-identical to the NHWC versions (same reference
+# layers.py:231-311, train.py:973-985 math, different layout).
+# --------------------------------------------------------------------------
+
+
+def _avg_pool_3x3_planar(x: jax.Array) -> jax.Array:
+    """3x3 stride-1 VALID average pool over the last two dims of (..., H, W)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 3, 3), (1, 1, 1, 1), "VALID"
+    )
+    return s / 9.0
+
+
+def ssim_planar(x: jax.Array, y: jax.Array) -> jax.Array:
+    """SSIM loss map on (B, C, H, W) planes -> (B, C, H, W)."""
+    pad = ((0, 0), (0, 0), (1, 1), (1, 1))
+    x = jnp.pad(x, pad, mode="reflect")
+    y = jnp.pad(y, pad, mode="reflect")
+    mu_x = _avg_pool_3x3_planar(x)
+    mu_y = _avg_pool_3x3_planar(y)
+    sigma_x = _avg_pool_3x3_planar(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool_3x3_planar(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool_3x3_planar(x * y) - mu_x * mu_y
+    n = (2 * mu_x * mu_y + _SSIM_C1) * (2 * sigma_xy + _SSIM_C2)
+    d = (mu_x**2 + mu_y**2 + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
+    return jnp.clip((1 - n / d) / 2, 0.0, 1.0)
+
+
+def reprojection_loss_planar(
+    pred: jax.Array, target: jax.Array, use_ssim: bool = True
+) -> jax.Array:
+    """0.85*SSIM + 0.15*L1, channel-averaged: (B, C, H, W) -> (B, H, W)."""
+    l1 = jnp.mean(jnp.abs(target - pred), axis=1)
+    if not use_ssim:
+        return l1
+    s = jnp.mean(ssim_planar(pred, target), axis=1)
+    return 0.85 * s + 0.15 * l1
+
+
+def smooth_loss_planar(disp: jax.Array, img: jax.Array) -> jax.Array:
+    """Edge-aware smoothness; disp: (B, H, W), img: (B, C, H, W)."""
+    grad_disp_x = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
+    grad_disp_y = jnp.abs(disp[:, :-1, :] - disp[:, 1:, :])
+    grad_img_x = jnp.mean(jnp.abs(img[..., :, :-1] - img[..., :, 1:]), axis=1)
+    grad_img_y = jnp.mean(jnp.abs(img[..., :-1, :] - img[..., 1:, :]), axis=1)
+    return jnp.mean(grad_disp_x * jnp.exp(-grad_img_x)) + jnp.mean(
+        grad_disp_y * jnp.exp(-grad_img_y)
+    )
+
+
+def to_planar(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, C, H, W)."""
+    return x.transpose(0, 3, 1, 2)
+
+
 def si_log_depth_loss(
     pred: jax.Array,
     target: jax.Array,

@@ -9,23 +9,39 @@ the single most expensive op group of the Mono-ViFI train step (PERF.md:
 The adjoint is a sum of weighted outer products
     adj[y, x, c] += (a0[p]*[y==ly_p] + a1[p]*[y==ly_p+1])
                   * (c0[p]*[x==lx_p] + c1[p]*[x==lx_p+1]) * ct[p, c]
-which this kernel evaluates as dense one-hot matmuls: for each output tile
-of 1024 cotangent pixels and each window row r, build the separable one-hot
-selection matrix S_r[w, p] on the VPU and contract S_r @ V on the MXU
-(bf16 inputs, f32 accumulate). Accumulation into the full adjoint plane uses
-an explicit HBM<->VMEM read-modify-write of a per-tile window at a
-dynamically computed 8/128-aligned origin (sequential grid steps make the
-RMW race-free).
+evaluated as dense one-hot matmuls. The selection matrix is separable, so
+each tile of P=1024 cotangent pixels builds a row-independent column
+selector colsel[w, p] ONCE plus a (WH, P) row-weight table, and each window
+row costs one bf16 broadcast multiply and one MXU contraction
+    win[r] = (colsel * rowsel[r]) @ V        (bf16 in, f32 accumulate).
+
+Accumulation design (TPU-critical, learned the hard way on v5e):
+  * Explicit HBM read-modify-write windows per tile: ~4 ms/program. Dead.
+  * A VMEM-resident full adjoint plane as a revisited output block: ~100 ms
+    per block lifecycle + minutes of Mosaic compile. Dead.
+  * What works: each 8-row band of output pixels writes a (WH, Wp, C)
+    window to its OWN small output block (per-program changing index — the
+    only pattern that streams at bandwidth) at the REGULAR origin
+    (8*ty + dy_b - pad_y, 0): the window spans the FULL padded plane width
+    (Wp <= ~1024 for every training resolution), so horizontal placement
+    is static and border-clamped columns cost nothing; vertically the
+    origin is tile-regular except one per-image shift dy_b (the rounded
+    mean vertical displacement). The overlap-add of regularly-placed
+    windows is pure static XLA (reshape + strided adds), and dy_b is
+    undone by one per-image row gather (byte-bound, cheap).
 
 All padding-mode logic (border vs zeros: reference torch F.grid_sample
 semantics, used at train.py:966-969 and for the batched affine rotations
 replacing train.py:888-922) lives OUTSIDE the kernel in the separable
 (a0, a1, c0, c1) weight factors, so one kernel serves every warp.
 
-EXACTNESS: same windowing contract as ops/pallas/warp.py — exact whenever
-each 8x128 cotangent tile's (clipped) source indices span <= (WH-9, WW-129)
-after aligned window placement; `splat_spans_ok` checks this and callers
-fall back to the XLA scatter path (lax.cond) otherwise.
+EXACTNESS: exact (up to bf16 rounding of the tap weights and the bf16
+window values) whenever every tap's window-local row lands inside its
+band's window: residual vertical displacement after the per-image shift in
+[-pad_y, WH-9-pad_y] (pad_y=(WH-10)//2); columns are never a constraint.
+Planes whose padded height fits the window (mode A) are exact for ANY
+taps. `_prepare` checks this per call and callers fall back to the XLA
+scatter path (lax.cond) otherwise.
 """
 
 from __future__ import annotations
@@ -34,106 +50,154 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
-P = TILE_H * TILE_W  # pixels per tile
+PCHUNK = 1024  # pixels per column-chunk inside a row-band program
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _splat_kernel(ly_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref, v_ref,
-                  plane_in_ref, plane_out_ref, win, sem_in, sem_out,
-                  *, WH, WW, Hpad, Wpad, C):
-    b = pl.program_id(0)
+def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
+                       v_ref, win_ref, acc_ref, *, WH, Wp, ntx):
+    """One program = one 8-row band of output pixels -> its (WH, Wp, C)
+    window. The band's pixels are tile-major: p = tx*1024 + row*128 + col.
+    Loops over the band's ntx column-chunks, accumulating the full-width
+    window rows in VMEM scratch; columns need no windowing because the
+    window spans the whole (padded) plane width."""
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (Wp, PCHUNK), 0)
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (WH, PCHUNK), 0)
+    zc = jnp.zeros((Wp, PCHUNK), jnp.float32)
+    zr = jnp.zeros((WH, PCHUNK), jnp.float32)
 
-    ly = ly_ref[0, 0]  # (1, P) int32 — window-row index of the upper tap
-    lx = lx_ref[0, 0]  # (1, P)
+    for tx in range(ntx):
+        sl = pl.ds(tx * PCHUNK, PCHUNK)
+        lyl = lyl_ref[0, 0, :, sl]  # (1, PCHUNK)
+        lx = lx_ref[0, 0, :, sl]
+        a0 = a0_ref[0, 0, :, sl]
+        a1 = a1_ref[0, 0, :, sl]
+        c0 = c0_ref[0, 0, :, sl]
+        c1 = c1_ref[0, 0, :, sl]
+        v = v_ref[0, 0, sl, :].astype(jnp.bfloat16)  # (PCHUNK, C)
 
-    # aligned window origin from the tile's min source index
-    oy = (jnp.clip(jnp.min(ly), 0, max(Hpad - WH, 0)) // 8) * 8
-    ox = (jnp.clip(jnp.min(lx), 0, max(Wpad - WW, 0)) // 128) * 128
-    oy = pl.multiple_of(oy, 8)
-    ox = pl.multiple_of(ox, 128)
-    lyl = jnp.clip(ly - oy, 0, WH - 2)
-    lxl = jnp.clip(lx - ox, 0, WW - 2)
+        # separable one-hot selection (f32 selects share the i1 masks'
+        # (8,128) layout; Mosaic cannot relayout i1 vectors to bf16 tiling)
+        colsel = (
+            jnp.where(lx == wcol, c0, zc) + jnp.where((lx + 1) == wcol, c1, zc)
+        ).astype(jnp.bfloat16)
+        rowsel = (
+            jnp.where(lyl == rrow, a0, zr) + jnp.where((lyl + 1) == rrow, a1, zr)
+        ).astype(jnp.bfloat16)
 
-    # fetch the current window (read-modify-write accumulate) — read the
-    # OUTPUT buffer: it aliases the zero-initialized input and carries the
-    # accumulation across sequential grid steps
-    dma_in = pltpu.make_async_copy(
-        plane_out_ref.at[b, pl.ds(oy, WH), pl.ds(ox, WW)], win, sem_in
-    )
-    dma_in.start()
+        for r in range(WH):
+            s_r = colsel * rowsel[r : r + 1]  # bf16 (Wp, PCHUNK)
+            acc = jnp.dot(s_r, v, preferred_element_type=jnp.float32)
+            if tx == 0:
+                acc_ref[r] = acc
+            else:
+                acc_ref[r] = acc_ref[r] + acc
 
-    a0 = a0_ref[0, 0]
-    a1 = a1_ref[0, 0]
-    c0 = c0_ref[0, 0]
-    c1 = c1_ref[0, 0]
-    v = v_ref[0, 0].astype(jnp.bfloat16)  # (P, C)
-
-    wcol = jax.lax.broadcasted_iota(jnp.int32, (WW, P), 0)
-    b0 = lxl == wcol  # (WW, P): [w == lx]
-    b1 = (lxl + 1) == wcol
-    zero = jnp.zeros((WW, P), jnp.bfloat16)
-
-    dma_in.wait()
-
-    for r in range(WH):
-        arow = a0 * (lyl == r) + a1 * ((lyl + 1) == r)  # (1, P) f32
-        s_r = jnp.where(b0, (arow * c0).astype(jnp.bfloat16), zero) + jnp.where(
-            b1, (arow * c1).astype(jnp.bfloat16), zero
-        )
-        acc = jnp.dot(s_r, v, preferred_element_type=jnp.float32)  # (WW, C)
-        win[r] = win[r] + acc
-
-    dma_out = pltpu.make_async_copy(
-        win, plane_out_ref.at[b, pl.ds(oy, WH), pl.ds(ox, WW)], sem_out
-    )
-    dma_out.start()
-    dma_out.wait()
+    win_ref[0, 0] = acc_ref[...].astype(win_ref.dtype)
 
 
-def _tile_flatten(x: jax.Array, Ho: int, Wo: int, pad_value=0):
-    """(B, Ho, Wo, ...) -> (B, T, 1, P, ...) tile-major flattening with
-    zero/constant padding of Ho, Wo to the 8/128 tile grid."""
+def _splat_band_kernel1(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
+                        win_ref, acc_ref, *, WH, Wp, ntx):
+    """C=1 specialization: the cotangent is FOLDED INTO the row weights
+    outside (contribution = a*c*v with scalar v), so each column chunk is a
+    single MXU contraction rowsel @ colsel^T with no value tensor at all."""
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (Wp, PCHUNK), 0)
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (WH, PCHUNK), 0)
+    zc = jnp.zeros((Wp, PCHUNK), jnp.float32)
+    zr = jnp.zeros((WH, PCHUNK), jnp.float32)
+
+    for tx in range(ntx):
+        sl = pl.ds(tx * PCHUNK, PCHUNK)
+        lyl = lyl_ref[0, 0, :, sl]
+        lx = lx_ref[0, 0, :, sl]
+        a0 = a0_ref[0, 0, :, sl]
+        a1 = a1_ref[0, 0, :, sl]
+        c0 = c0_ref[0, 0, :, sl]
+        c1 = c1_ref[0, 0, :, sl]
+        colsel = (
+            jnp.where(lx == wcol, c0, zc) + jnp.where((lx + 1) == wcol, c1, zc)
+        ).astype(jnp.bfloat16)
+        rowsel = (
+            jnp.where(lyl == rrow, a0, zr) + jnp.where((lyl + 1) == rrow, a1, zr)
+        ).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            rowsel, colsel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (WH, Wp)
+        if tx == 0:
+            acc_ref[...] = acc
+        else:
+            acc_ref[...] = acc_ref[...] + acc
+
+    win_ref[0, 0] = acc_ref[...].astype(win_ref.dtype)
+
+
+def _band_flatten(x: jax.Array, Ho: int, Wo: int, mode: str = "constant"):
+    """(B, Ho, Wo, ...) -> (B, nty, 1, 8*Wp, ...) row-band flattening with
+    tile-major pixel order p = tx*1024 + row*128 + col (so column chunks are
+    contiguous). Pads Ho/Wo to the 8/128 grid (zeros for weights/values,
+    edge replication for indices)."""
     B = x.shape[0]
     Hp, Wp = _round_up(Ho, TILE_H), _round_up(Wo, TILE_W)
     pads = [(0, 0), (0, Hp - Ho), (0, Wp - Wo)] + [(0, 0)] * (x.ndim - 3)
-    x = jnp.pad(x, pads, constant_values=pad_value)
+    x = jnp.pad(x, pads, mode=mode)
     nty, ntx = Hp // TILE_H, Wp // TILE_W
     trailing = x.shape[3:]
     x = x.reshape((B, nty, TILE_H, ntx, TILE_W) + trailing)
-    x = jnp.moveaxis(x, 3, 2)  # (B, nty, ntx, TILE_H, TILE_W, ...)
-    return x.reshape((B, nty * ntx, 1, P) + trailing)
+    x = jnp.moveaxis(x, 3, 2)  # (B, nty, ntx, 8, 128, ...)
+    return x.reshape((B, nty, 1, ntx * TILE_H * TILE_W) + trailing)
 
 
-def splat_spans_ok(ly, lx, Hpad, Wpad, window) -> jax.Array:
-    """Scalar bool: every tile's clipped index span fits the window.
+def _mode_a(out_hw, window) -> bool:
+    """Full vertical coverage: window spans the whole padded plane height,
+    origin 0 for every band -> exact for ANY taps (no budget, no shift)."""
+    H, _ = out_hw
+    Hpad = _round_up(max(H, TILE_H), TILE_H)
+    return Hpad <= _round_up(window[0], 8)
 
-    Budget = window minus the tap pair (2) minus the 8/128 alignment slack
-    of the window origin; a window covering the whole padded plane has its
-    origin pinned at 0 (no slack) and is exact for any span.
+
+def _window_for(out_hw, window):
+    H, W = out_hw
+    Hpad = _round_up(max(H, TILE_H), TILE_H)
+    Wp = _round_up(max(W, TILE_W), TILE_W)
+    WH = min(_round_up(window[0], 8), Hpad)
+    return WH, Wp
+
+
+def _prepare(ly, lx, out_hw, window):
+    """Window-local row indices + per-image vertical shift + exactness flag.
+
+    Mode A (plane fits the window vertically): lyl = ly, always exact.
+    Mode B: lyl = ly - (8*(qy//8) + dy - pad_y) with dy the per-image
+    rounded mean vertical displacement; exact iff all lyl in [0, WH-2]
+    (columns never constrain: the window spans the full plane width).
     """
-    WH, WW = window
-    budget_y = WH - 2 if WH >= Hpad else WH - 9
-    budget_x = WW - 2 if WW >= Wpad else WW - 129
     B, Ho, Wo = ly.shape
-    lyt = _tile_flatten(jnp.clip(ly, 0, Hpad - 2), Ho, Wo)[..., 0, :]
-    lxt = _tile_flatten(jnp.clip(lx, 0, Wpad - 2), Ho, Wo, pad_value=0)[..., 0, :]
-    # padding pixels carry index 0 which can inflate the span; callers pass
-    # indices already clipped to valid range, and pad zeros only extend the
-    # span toward 0 — conservative (may force fallback, never wrong results)
-    span_y = jnp.max(lyt, -1) - jnp.min(lyt, -1)
-    span_x = jnp.max(lxt, -1) - jnp.min(lxt, -1)
-    return jnp.logical_and(
-        jnp.all(span_y <= budget_y), jnp.all(span_x <= budget_x)
+    WH, _ = _window_for(out_hw, window)
+    if _mode_a(out_hw, window):
+        return ly, jnp.zeros((B,), jnp.int32), jnp.asarray(True)
+    pad_y = (WH - 10) // 2
+    qy = jax.lax.broadcasted_iota(jnp.int32, (Ho, Wo), 0)[None]
+    disp_y = ly - qy
+    dy = jnp.round(jnp.mean(disp_y.astype(jnp.float32), axis=(1, 2))).astype(
+        jnp.int32
     )
+    lyl = ly - (8 * (qy // 8) + dy[:, None, None] - pad_y)
+    ok = jnp.all((lyl >= 0) & (lyl <= WH - 2))
+    return lyl, dy, ok
+
+
+def splat_spans_ok(ly, lx, out_hw, window=(32, 0)) -> jax.Array:
+    """Scalar bool: would the windowed splat be exact for these taps?"""
+    return _prepare(ly, lx, out_hw, window)[2]
 
 
 @functools.partial(
@@ -148,77 +212,205 @@ def bilinear_splat(
     c0: jax.Array,
     c1: jax.Array,
     out_hw: tuple[int, int],
-    window: tuple[int, int] = (16, 256),
+    window: tuple[int, int] = (32, 0),
     interpret: bool = False,
 ) -> jax.Array:
     """Scatter-add ct into an (out_hw) plane with separable bilinear weights.
 
     Args:
-      ct: (B, Ho, Wo, C) cotangent, C <= 128.
+      ct: (B, Ho, Wo, C) cotangent.
       ly, lx: (B, Ho, Wo) int32 upper-left tap indices, PRE-CLIPPED to
         [0, H-2] / [0, W-2].
-      a0, a1: (B, Ho, Wo) row-tap weights (e.g. 1-wy and wy; any masks folded
-        in). c0, c1: column-tap weights.
+      a0, a1: (B, Ho, Wo) row-tap weights (1-wy / wy with any masks folded
+      in); c0, c1: column-tap weights.
       out_hw: (H, W) of the adjoint plane.
-      window: (WH, WW) VMEM window; WH mult of 8, WW mult of 128.
+      window: (WH, _) — vertical window rows per 8-row output band (the
+        horizontal extent is always the full padded plane width).
 
     Returns:
-      (B, H, W, C) f32 adjoint.
+      (B, H, W, C) f32 adjoint. Out-of-budget vertical taps are SILENTLY
+      misplaced — call splat_spans_ok first (or grid_sample_adjoint_image,
+      which guards and falls back).
     """
     B, Ho, Wo, C = ct.shape
     H, W = out_hw
-    assert C <= 128, "channel-block >128 unsupported; fall back to XLA scatter"
-    Hpad, Wpad = _round_up(max(H, 8), 8), _round_up(max(W, 128), 128)
-    WH = min(_round_up(window[0], 8), Hpad)
-    WW = min(_round_up(window[1], 128), Wpad)
+    WH, Wp = _window_for(out_hw, window)
+    mode_a = _mode_a(out_hw, window)
+    pad_y = 0 if mode_a else (WH - 10) // 2
 
-    lyt = _tile_flatten(jnp.clip(ly, 0, Hpad - 2).astype(jnp.int32), Ho, Wo)
-    lxt = _tile_flatten(jnp.clip(lx, 0, Wpad - 2).astype(jnp.int32), Ho, Wo)
+    lyl, dy, _ = _prepare(
+        jnp.clip(ly, 0, max(H - 2, 0)).astype(jnp.int32),
+        lx,
+        out_hw,
+        window,
+    )
+    lyl = jnp.clip(lyl, 0, WH - 2)
+    lxc = jnp.clip(lx, 0, max(W - 2, 0)).astype(jnp.int32)
+    nty = _round_up(Ho, TILE_H) // TILE_H
+    ntx = _round_up(Wo, TILE_W) // TILE_W
+
     f32 = jnp.float32
-    a0t = _tile_flatten(a0.astype(f32), Ho, Wo)
-    a1t = _tile_flatten(a1.astype(f32), Ho, Wo)
-    c0t = _tile_flatten(c0.astype(f32), Ho, Wo)
-    c1t = _tile_flatten(c1.astype(f32), Ho, Wo)
-    vt = _tile_flatten(ct.astype(f32), Ho, Wo)  # (B, T, 1, P, C)
-    vt = vt.reshape(B, vt.shape[1], P, C)
-    T = vt.shape[1]
+    if C == 1:
+        # fold the scalar cotangent into the row weights; windows drop the
+        # channel axis entirely (a trailing C=1 would 128x-pad the lanes)
+        v = ct[..., 0].astype(f32)
+        a0 = a0.astype(f32) * v
+        a1 = a1.astype(f32) * v
 
-    zeros = jnp.zeros((B, Hpad, Wpad, C), f32)
+    # windows are the big transient ((Bc, nty, WH, Wp, C) bf16) — chunk the
+    # batch through lax.map to bound peak HBM (~512 MB of windows per chunk)
+    win_bytes = nty * WH * Wp * max(C, 1) * 2
+    chunk = max(1, min(B, (512 * 2**20) // max(win_bytes, 1)))
+    n_chunks = -(-B // chunk)
+    Bp = n_chunks * chunk
 
+    def pad_b(x):
+        return jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
+
+    args = (
+        pad_b(lyl), pad_b(lxc),
+        pad_b(a0.astype(f32)), pad_b(a1.astype(f32)),
+        pad_b(c0.astype(f32)), pad_b(c1.astype(f32)),
+        pad_b(ct.astype(f32)), pad_b(dy),
+    )
+    args = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), args
+    )
+
+    core_fn = _splat_core1 if C == 1 else _splat_core
+    core = functools.partial(
+        core_fn, Ho=Ho, Wo=Wo, H=H, W=W, WH=WH, Wp=Wp,
+        pad_y=pad_y, nty=nty, ntx=ntx, mode_a=mode_a, interpret=interpret,
+    )
+    if n_chunks == 1:
+        plane = core(tuple(a[0] for a in args))
+    else:
+        plane = jax.lax.map(core, args).reshape(Bp, H, W, C)[:B]
+    return plane
+
+
+def _splat_core1(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
+                 interpret):
+    """C=1 core: channel-less windows (B, nty, WH, Wp) with the cotangent
+    pre-folded into (a0, a1); same band placement/combine as the general
+    core but with perfectly-tiled planar arrays."""
+    lyl, lx, a0, a1, c0, c1, _, dy = args
+    B = lyl.shape[0]
+    f32 = jnp.float32
+
+    lylt = _band_flatten(lyl, Ho, Wo, mode="edge")
+    lxt = _band_flatten(lx, Ho, Wo, mode="edge")
+    a0t = _band_flatten(a0, Ho, Wo)
+    a1t = _band_flatten(a1, Ho, Wo)
+    c0t = _band_flatten(c0, Ho, Wo)
+    c1t = _band_flatten(c1, Ho, Wo)
+
+    Pband = ntx * TILE_H * TILE_W
     vec_spec = pl.BlockSpec(
-        (1, 1, 1, P), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, Pband), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _splat_kernel, WH=WH, WW=WW, Hpad=Hpad, Wpad=Wpad, C=C
-    )
-    plane = pl.pallas_call(
-        kernel,
-        grid=(B, T),
-        in_specs=[
-            vec_spec,  # ly
-            vec_spec,  # lx
-            vec_spec,  # a0
-            vec_spec,  # a1
-            vec_spec,  # c0
-            vec_spec,  # c1
-            pl.BlockSpec(
-                (1, 1, P, C), lambda b, t: (b, t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # plane (aliased in/out)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, Hpad, Wpad, C), f32),
-        scratch_shapes=[
-            pltpu.VMEM((WH, WW, C), f32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        input_output_aliases={7: 0},
+    windows = pl.pallas_call(
+        functools.partial(_splat_band_kernel1, WH=WH, Wp=Wp, ntx=ntx),
+        grid=(B, nty),
+        in_specs=[vec_spec] * 6,
+        out_specs=pl.BlockSpec(
+            (1, 1, WH, Wp), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nty, WH, Wp), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((WH, Wp), f32)],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lyt, lxt, a0t, a1t, c0t, c1t, vt, zeros)
-    return plane[:, :H, :W, :]
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
+    )(lylt, lxt, a0t, a1t, c0t, c1t)
+
+    if mode_a:
+        plane = jnp.sum(windows.astype(f32), axis=1)
+        return plane[:, :H, :W, None]
+
+    canvasH = 8 * nty + WH
+    canvas = jnp.zeros((B, canvasH, Wp), f32)
+    for i in range(WH // 8):
+        blk = windows[:, :, 8 * i : 8 * i + 8].reshape(B, 8 * nty, Wp)
+        canvas = canvas.at[:, 8 * i : 8 * i + 8 * nty].add(blk.astype(f32))
+
+    rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
+    valid = (rows >= 0) & (rows < canvasH)
+    rows_c = jnp.clip(rows, 0, canvasH - 1)
+    plane = jnp.take_along_axis(canvas, rows_c[:, :, None], axis=1)
+    plane = jnp.where(valid[:, :, None], plane, 0.0)
+    return plane[:, :, :W, None]
+
+
+def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
+                interpret):
+    lyl, lx, a0, a1, c0, c1, ct, dy = args
+    B, C = ct.shape[0], ct.shape[-1]
+    f32 = jnp.float32
+
+    lylt = _band_flatten(lyl, Ho, Wo, mode="edge")
+    lxt = _band_flatten(lx, Ho, Wo, mode="edge")
+    a0t = _band_flatten(a0, Ho, Wo)
+    a1t = _band_flatten(a1, Ho, Wo)
+    c0t = _band_flatten(c0, Ho, Wo)
+    c1t = _band_flatten(c1, Ho, Wo)
+    vt = _band_flatten(ct, Ho, Wo).reshape(B, nty, ntx * TILE_H * TILE_W, C)
+
+    Pband = ntx * TILE_H * TILE_W
+    vec_spec = pl.BlockSpec(
+        (1, 1, 1, Pband), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+    )
+    windows = pl.pallas_call(
+        functools.partial(_splat_band_kernel, WH=WH, Wp=Wp, ntx=ntx),
+        grid=(B, nty),
+        in_specs=[vec_spec] * 6
+        + [
+            pl.BlockSpec(
+                (1, 1, Pband, C), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, WH, Wp, C), lambda b, t: (b, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nty, WH, Wp, C), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((WH, Wp, C), f32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
+    )(lylt, lxt, a0t, a1t, c0t, c1t, vt)
+
+    if mode_a:
+        plane = jnp.sum(windows.astype(f32), axis=1)  # bands all at origin 0
+        return plane[:, :H, :W, :]
+
+    # static overlap-add of the regularly-placed band windows
+    canvasH = 8 * nty + WH
+    canvas = jnp.zeros((B, canvasH, Wp, C), f32)
+    for i in range(WH // 8):
+        blk = windows[:, :, 8 * i : 8 * i + 8].reshape(B, 8 * nty, Wp, C)
+        canvas = canvas.at[:, 8 * i : 8 * i + 8 * nty].add(blk.astype(f32))
+    # residual rows when WH is not a multiple of 8
+    rem = WH - 8 * (WH // 8)
+    if rem:
+        i = WH // 8
+        blk = windows[:, :, 8 * i :].reshape(B, rem * nty, Wp, C)
+        # interleave manually: band t rows [8i, WH) -> canvas rows 8t+8i...
+        for t in range(nty):
+            canvas = canvas.at[:, 8 * t + 8 * i : 8 * t + 8 * i + rem].add(
+                blk[:, t * rem : (t + 1) * rem].astype(f32)
+            )
+
+    # undo the per-image vertical shift with one row gather
+    rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
+    valid = (rows >= 0) & (rows < canvasH)
+    rows_c = jnp.clip(rows, 0, canvasH - 1)
+    plane = jnp.take_along_axis(canvas, rows_c[:, :, None, None], axis=1)
+    plane = jnp.where(valid[:, :, None, None], plane, 0.0)
+    return plane[:, :, :W, :]
 
 
 # ------------------------------------------------------------------ wrappers
@@ -278,23 +470,20 @@ def _zeros_factors(img_hw, grid, align_corners=True):
 
 def grid_sample_adjoint_image(
     ct, img_hw, grid, padding_mode="border", align_corners=True,
-    window=(16, 256), interpret=False,
+    window=(32, 0), interpret=False,
 ):
     """d(grid_sample)/d(img)^T applied to ct, via the MXU splat kernel with
-    a runtime span guard falling back to the exact XLA scatter."""
+    a runtime in-window guard falling back to the exact XLA scatter."""
     if padding_mode == "border":
         ly, lx, a0, a1, c0, c1 = _border_factors(img_hw, grid, align_corners)
     else:
         ly, lx, a0, a1, c0, c1 = _zeros_factors(img_hw, grid, align_corners)
     H, W = img_hw
-    Hpad, Wpad = _round_up(max(H, 8), 8), _round_up(max(W, 128), 128)
-    WH = min(_round_up(window[0], 8), Hpad)
-    WW = min(_round_up(window[1], 128), Wpad)
-    ok = splat_spans_ok(ly, lx, Hpad, Wpad, (WH, WW))
+    ok = _prepare(ly, lx, (H, W), window)[2]
 
     def fast(ct_, ly_, lx_, a0_, a1_, c0_, c1_):
         return bilinear_splat(
-            ct_, ly_, lx_, a0_, a1_, c0_, c1_, (H, W), (WH, WW),
+            ct_, ly_, lx_, a0_, a1_, c0_, c1_, (H, W), window,
             interpret=interpret,
         )
 
@@ -329,9 +518,9 @@ def warp_frozen_flow(img, flow, padding_mode="border", gather_dtype=None,
     """Backward-warp with a gradient-free flow (fusion feature warps,
     reference networks/fusion_module.py:80-90; batched affine warps,
     train.py:888-922). Forward = the exact XLA blocked-gather warp; backward
-    w.r.t. img = the MXU splat kernel (span-guarded). flow receives NO
-    gradient — it is stop_gradient'ed on entry (every caller's flow is
-    frozen-VFI output or batch constants).
+    w.r.t. img = the MXU splat kernel (guarded). flow receives NO gradient —
+    it is stop_gradient'ed on entry (every caller's flow is frozen-VFI
+    output or batch constants).
     """
     from mono_vifi_tpu.ops.sampling import warp
 
@@ -348,9 +537,8 @@ def _wff_fwd(img, flow, padding_mode, gather_dtype, use_splat, interpret):
 def _wff_bwd(padding_mode, gather_dtype, use_splat, interpret, res, ct):
     (flow,) = res
     H, W = flow.shape[1], flow.shape[2]  # img plane == flow plane here
-    C = ct.shape[-1]
     grid = _flow_to_grid(jnp.asarray(flow, jnp.float32), H, W)
-    if use_splat and C <= 128:
+    if use_splat:
         adj = grid_sample_adjoint_image(
             ct, (H, W), grid, padding_mode=padding_mode, interpret=interpret
         )
@@ -361,6 +549,49 @@ def _wff_bwd(padding_mode, gather_dtype, use_splat, interpret, res, ct):
             f = _zeros_factors((H, W), grid)
         adj = _xla_splat(ct, *f, (H, W))
     return adj.astype(ct.dtype), jnp.zeros_like(flow)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grid_sample_frozen_grid(img, grid, padding_mode="border",
+                            window=(32, 0), use_splat=True, interpret=False):
+    """grid_sample with a gradient-free grid (batched affine rotations
+    replacing train.py:888-922: the grid comes from batch constants).
+    Forward = the exact XLA blocked-gather sampler; backward w.r.t. img =
+    the MXU splat kernel (guarded, falls back to XLA scatter). `window`
+    sets the vertical splat window — for a rotation by <=a degrees over
+    width W it must cover ~W*sin(a) + 10 rows."""
+    from mono_vifi_tpu.ops.sampling import grid_sample
+
+    return grid_sample(
+        img, jax.lax.stop_gradient(grid), padding_mode=padding_mode
+    )
+
+
+def _gsfg_fwd(img, grid, padding_mode, window, use_splat, interpret):
+    out = grid_sample_frozen_grid(
+        img, grid, padding_mode, window, use_splat, interpret
+    )
+    return out, (grid, img.shape)
+
+
+def _gsfg_bwd(padding_mode, window, use_splat, interpret, res, ct):
+    grid, img_shape = res
+    H, W = img_shape[1], img_shape[2]
+    if use_splat:
+        adj = grid_sample_adjoint_image(
+            ct, (H, W), jnp.asarray(grid, jnp.float32),
+            padding_mode=padding_mode, window=window, interpret=interpret,
+        )
+    else:
+        if padding_mode == "border":
+            f = _border_factors((H, W), grid)
+        else:
+            f = _zeros_factors((H, W), grid)
+        adj = _xla_splat(ct, *f, (H, W))
+    return adj.astype(ct.dtype), jnp.zeros_like(grid)
+
+
+grid_sample_frozen_grid.defvjp(_gsfg_fwd, _gsfg_bwd)
 
 
 def _flow_to_grid(flow, H, W):

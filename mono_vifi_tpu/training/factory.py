@@ -64,15 +64,17 @@ class ModelBundle:
         else:
             raise ValueError(f"unknown backbone {cfg.backbone}")
 
-        self.fusion_module = fusion.FusionModule(
-            num_ch_enc=self.num_ch_enc, backbone=cfg.backbone, dtype=dtype
-        )
-        self.pose_encoder = posenet.PoseEncoder(cfg.num_layers, dtype)
-        self.pose = posenet.PoseDecoder(dtype=dtype)
-
         import jax as _jax
 
         self.fast_warp = bool(cfg.fast_warp) and _jax.default_backend() == "tpu"
+        self.fusion_module = fusion.FusionModule(
+            num_ch_enc=self.num_ch_enc,
+            backbone=cfg.backbone,
+            dtype=dtype,
+            fast_grad_warp=self.fast_warp,
+        )
+        self.pose_encoder = posenet.PoseEncoder(cfg.num_layers, dtype)
+        self.pose = posenet.PoseDecoder(dtype=dtype)
         self.vfi_train = ifrnet.IFRNet(
             getattr(cfg, "vfi_train_scale", "large"), dtype, fast_warp=self.fast_warp
         )

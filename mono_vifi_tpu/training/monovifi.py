@@ -117,40 +117,46 @@ class MonoViFiStep:
             pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
             pred_p1 = _f32(sampling.grid_sample(src_p1, grid_p1, gather_dtype=gd))
 
+        # channel-planar loss layout: stacking candidate loss maps along the
+        # LEADING axis keeps the tiled (H, W) pair intact (a trailing
+        # candidate axis would re-create the tiny-minor-dim tile padding)
         use_ssim = not cfg.no_ssim
-        reproj = jnp.concatenate(
+        tgt_pl = L.to_planar(tgt)
+        reproj = jnp.stack(
             [
-                L.reprojection_loss(pred_n1, tgt, use_ssim),
-                L.reprojection_loss(pred_p1, tgt, use_ssim),
+                L.reprojection_loss_planar(L.to_planar(pred_n1), tgt_pl, use_ssim),
+                L.reprojection_loss_planar(L.to_planar(pred_p1), tgt_pl, use_ssim),
             ],
-            axis=-1,
+            axis=0,
         )
         if cfg.avg_reprojection:
-            reproj = jnp.mean(reproj, axis=-1, keepdims=True)
+            reproj = jnp.mean(reproj, axis=0, keepdims=True)
 
         if not cfg.disable_automasking:
-            ident = jnp.concatenate(
+            ident = jnp.stack(
                 [
-                    L.reprojection_loss(src_n1, tgt, use_ssim),
-                    L.reprojection_loss(src_p1, tgt, use_ssim),
+                    L.reprojection_loss_planar(L.to_planar(src_n1), tgt_pl, use_ssim),
+                    L.reprojection_loss_planar(L.to_planar(src_p1), tgt_pl, use_ssim),
                 ],
-                axis=-1,
+                axis=0,
             )
             if cfg.avg_reprojection:
-                ident = jnp.mean(ident, axis=-1, keepdims=True)
+                ident = jnp.mean(ident, axis=0, keepdims=True)
             ident = ident + jax.random.normal(rng, ident.shape) * 1e-5
-            combined = jnp.concatenate([ident, reproj], axis=-1)
+            combined = jnp.concatenate([ident, reproj], axis=0)
         else:
             combined = reproj
 
-        to_opt = jnp.min(combined, axis=-1) if combined.shape[-1] > 1 else combined[..., 0]
+        to_opt = jnp.min(combined, axis=0) if combined.shape[0] > 1 else combined[0]
         if mask_rec is not None:
             to_opt = to_opt * mask_rec[..., 0]
         loss = jnp.mean(to_opt)
 
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         norm_disp = disp / (mean_disp + 1e-7)
-        loss = loss + cfg.disparity_smoothness * L.smooth_loss(norm_disp, tgt)
+        loss = loss + cfg.disparity_smoothness * L.smooth_loss_planar(
+            norm_disp[..., 0], tgt_pl
+        )
         return loss
 
     # ------------------------------------------------------------ the loss
@@ -226,16 +232,16 @@ class MonoViFiStep:
         T_nt_n1, T_nt_p1 = inv[2 * B : 3 * B], fwd[3 * B : 4 * B]
         T_pt_n1, T_pt_p1 = inv[4 * B : 5 * B], fwd[5 * B : 6 * B]
 
-        # ---- affine inputs (batched warps replacing train.py:888-902)
+        # ---- affine inputs (batched warps replacing train.py:888-902);
+        # both synthesized frames rotate+crop in ONE batched call
         if cfg.use_affine:
             angle, box = batch["angle"], batch["box"]
             aff_aug_0 = batch["color_affine_aug_0"]
-            img_nt_aff = image_ops.batched_crop_resize(
-                image_ops.rotate_bilinear(img_nt, angle), box
+            rot2 = image_ops.rotate_bilinear(
+                jnp.concatenate([img_nt, img_pt], 0), _tile(angle, 2)
             )
-            img_pt_aff = image_ops.batched_crop_resize(
-                image_ops.rotate_bilinear(img_pt, angle), box
-            )
+            aff2 = image_ops.batched_crop_resize(rot2, _tile(box, 2))
+            img_nt_aff, img_pt_aff = aff2[:B], aff2[B:]
 
         # ---- depth encoder: single fused pass
         sf_inputs = [aug_0, img_nt, img_pt]
@@ -365,10 +371,15 @@ class MonoViFiStep:
                 mask_rec=_tile(mask_rec, 3),
             )
 
-            # SADC: restore the affine depths and compare (train.py:904-922)
+            # SADC: restore the affine depths and compare (train.py:904-922).
+            # place/crop are MXU interpolation matmuls; the rotate of the
+            # gradient-carrying depth uses the splat-backward path on TPU
             depth_aff3 = to_depth(disp_aff_stack)
             placed = image_ops.batched_place_resize(depth_aff3, _tile(box, 3))
-            restored = image_ops.rotate_bilinear(placed, -_tile(angle, 3))
+            restored = image_ops.rotate_bilinear(
+                placed, -_tile(angle, 3),
+                grad_via_splat=getattr(self.b, "fast_warp", False),
+            )
             ratio = batch["ratio_local"].reshape(B, 1, 1, 1)
             restored = restored * _tile(ratio, 3)
             depth_single3o = to_depth(

@@ -25,22 +25,33 @@ def _smooth_flow(B, H, W, mx=8.0, my=3.0):
 
 
 def test_bilinear_splat_matches_xla_scatter():
-    B, Ho, Wo, C = 2, 24, 130, 5  # ragged dims exercise tile padding
-    H, W = 40, 150
+    """In-budget taps (smooth flow + uniform shift, ragged dims exercising
+    tile padding): windows path == exact XLA scatter up to bf16 weights."""
+    B, C = 2, 5
+    Ho, Wo = 24, 130
+    H, W = Ho, Wo
+    flow = _smooth_flow(B, H, W, mx=20.0, my=3.0) + jnp.asarray([40.0, 5.0])
+    grid = splat._flow_to_grid(flow, H, W)
+    ly, lx, a0, a1, c0, c1 = splat._border_factors((H, W), grid)
     ct = jnp.asarray(RNG.standard_normal((B, Ho, Wo, C)).astype(np.float32))
+    assert bool(splat.splat_spans_ok(ly, lx, (H, W)))
+    ref = splat._xla_splat(ct, ly, lx, a0, a1, c0, c1, (H, W))
+    out = splat.bilinear_splat(
+        ct, ly, lx, a0, a1, c0, c1, (H, W), interpret=True
+    )
+    # tap weights are bf16-rounded (rowsel/colsel separately): abs error up
+    # to ~|ct| * 2^-7 per contribution — 0.4% gradient noise, immaterial for
+    # training but too large for a tight atol on unit-normal cotangents
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-1,
+                               rtol=1e-2)
+
+
+def test_spans_guard_rejects_scattered_indices():
+    B, Ho, Wo = 1, 24, 130
+    H, W = 64, 640
     ly = jnp.asarray(RNG.integers(0, H - 1, (B, Ho, Wo)).astype(np.int32))
     lx = jnp.asarray(RNG.integers(0, W - 1, (B, Ho, Wo)).astype(np.int32))
-    w = [
-        jnp.asarray(RNG.random((B, Ho, Wo)).astype(np.float32))
-        for _ in range(4)
-    ]
-    ref = splat._xla_splat(ct, ly, lx, *w, (H, W))
-    # full-plane window -> always exact regardless of index spread
-    out = splat.bilinear_splat(
-        ct, ly, lx, *w, (H, W), window=(48, 256), interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
-                               rtol=1e-2)  # bf16 matmul taps
+    assert not bool(splat.splat_spans_ok(ly, lx, (H, W)))
 
 
 def test_warp_frozen_flow_grad_matches_exact_border():
@@ -64,18 +75,18 @@ def test_warp_frozen_flow_grad_matches_exact_border():
 
 
 def test_warp_frozen_flow_grad_xla_fallback_on_wild_flow():
-    """Random huge flows violate the span contract -> cond picks the exact
-    scatter; gradient must still match jax.grad of the exact warp.
-    (W=512 > the 256-wide window, so the whole-plane always-exact case does
-    not apply and the spans check must trip.)"""
-    B, H, W, C = 1, 16, 512, 3
+    """Random huge flows violate the vertical window budget -> cond picks
+    the exact scatter; gradient must still match jax.grad of the exact warp.
+    (H=64 > the 32-row window, so plane-fits-window mode A does not apply
+    and the spans check must trip.)"""
+    B, H, W, C = 1, 64, 512, 3
     img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
     flow = jnp.asarray(
         (RNG.random((B, H, W, 2)) * 600 - 300).astype(np.float32)
     )
     grid = splat._flow_to_grid(flow, H, W)
     ly, lx, *_ = splat._border_factors((H, W), grid)
-    assert not bool(splat.splat_spans_ok(ly, lx, 16, 512, (16, 256)))
+    assert not bool(splat.splat_spans_ok(ly, lx, (H, W)))
 
     def loss_exact(im):
         return jnp.sum(sampling.warp(im, flow) ** 3)
@@ -119,3 +130,31 @@ def test_zeros_mode_adjoint():
     )
     np.testing.assert_allclose(np.asarray(adj_k), np.asarray(ge), atol=2e-2,
                                rtol=1e-2)
+
+
+def test_rotate_grad_via_splat_matches_exact():
+    """C=1 splat path (cotangent folded into row weights): gradient of a
+    rotation w.r.t. the rotated depth matches the exact zeros-mode warp."""
+    from mono_vifi_tpu.ops import image as image_ops
+    from mono_vifi_tpu.ops.pallas.splat import grid_sample_frozen_grid
+
+    B, H, W = 2, 32, 256
+    depth = jnp.asarray(RNG.random((B, H, W, 1)).astype(np.float32)) + 0.2
+    angle = jnp.asarray(np.array([3.0, -4.5], np.float32))
+    grid = image_ops._rotation_grid(angle, H, W)
+
+    def loss_exact(d):
+        return jnp.sum(
+            sampling.grid_sample(d, grid, padding_mode="zeros") ** 2
+        )
+
+    def loss_splat(d):
+        return jnp.sum(
+            grid_sample_frozen_grid(d, grid, "zeros", (48, 0), True, True) ** 2
+        )
+
+    assert np.allclose(loss_exact(depth), loss_splat(depth), rtol=1e-6)
+    ge = jax.grad(loss_exact)(depth)
+    gs = jax.grad(loss_splat)(depth)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ge), atol=5e-2,
+                               rtol=2e-2)
