@@ -59,7 +59,13 @@ class FusionModule(nn.Module):
     fast_grad_warp: bool = False  # MXU-splat image adjoint (training on TPU)
 
     def _embedding_pyramid(self, flow):
-        """Progressively halved + value-rescaled flow embeddings per level."""
+        """Progressively halved + value-rescaled flow embeddings per level.
+
+        The sin phases (2^k * flow, k<10) MUST be computed in f32 — bf16
+        ulp exceeds 2*pi for large flows at high octaves — but the VFI flow
+        is frozen (no gradient), so the embedding OUTPUT is cast to the
+        module dtype to halve its write bandwidth."""
+        ed = self.dtype or flow.dtype
         oups = []
         x = flow
         for i in range(len(self.num_ch_enc)):
@@ -67,7 +73,7 @@ class FusionModule(nn.Module):
             x = resize_bilinear(x, (h, w)) * 0.5
             if i == 0 and self.backbone == "LiteMono":
                 x = resize_bilinear(x, (h // 2, w // 2)) * 0.5
-            oups.append(embed_flow(x, self.embed_multires))
+            oups.append(embed_flow(x, self.embed_multires).astype(ed))
         return oups
 
     def _warp_pyramid(self, features, flow):
@@ -105,7 +111,9 @@ class FusionModule(nn.Module):
         feats_n1_0 = [f[:B] for f in both]
         feats_p1_0 = [f[B:] for f in both]
 
-        zero_flow = jax.lax.stop_gradient(0.0 * flow_0_n1)
+        # zeros (not 0.0*flow): lets XLA constant-fold the whole zero-flow
+        # embedding pyramid (0*x can't fold through NaN semantics)
+        zero_flow = jnp.zeros_like(flow_0_n1)
         emb_0 = self._embedding_pyramid(zero_flow)
         emb_n1 = self._embedding_pyramid(flow_0_n1)
         emb_p1 = self._embedding_pyramid(flow_0_p1)

@@ -133,7 +133,10 @@ def _rotation_grid(
 
 
 def rotate_bilinear(
-    img: jax.Array, angle_deg: jax.Array, grad_via_splat: bool = False
+    img: jax.Array,
+    angle_deg: jax.Array,
+    grad_via_splat: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """Batched rotation (one angle per sample), bilinear, zero fill.
 
@@ -158,8 +161,13 @@ def rotate_bilinear(
 
         rows = -(-int(2 * (W / 2) * 0.105 + 12) // 8) * 8  # sin(6 deg)
         return grid_sample_frozen_grid(
-            img, grid, "zeros", (rows, 0)
+            img, grid, "zeros", (rows, 0), True, False, fast
         )
+    if fast:
+        from mono_vifi_tpu.ops.pallas import warp as pwarp
+
+        if pwarp.windowed_ok(img.shape, grid.shape):
+            return pwarp.grid_sample_windowed_zeros_safe(img, grid)
     return grid_sample(img, grid, padding_mode="zeros", align_corners=True)
 
 

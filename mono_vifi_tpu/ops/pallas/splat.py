@@ -551,30 +551,38 @@ def _wff_bwd(padding_mode, gather_dtype, use_splat, interpret, res, ct):
     return adj.astype(ct.dtype), jnp.zeros_like(flow)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def grid_sample_frozen_grid(img, grid, padding_mode="border",
-                            window=(32, 0), use_splat=True, interpret=False):
+                            window=(32, 0), use_splat=True, interpret=False,
+                            fast_forward=False):
     """grid_sample with a gradient-free grid (batched affine rotations
     replacing train.py:888-922: the grid comes from batch constants).
-    Forward = the exact XLA blocked-gather sampler; backward w.r.t. img =
-    the MXU splat kernel (guarded, falls back to XLA scatter). `window`
-    sets the vertical splat window — for a rotation by <=a degrees over
-    width W it must cover ~W*sin(a) + 10 rows."""
+    Forward = the windowed Pallas tap kernel when `fast_forward` (TPU) else
+    the exact XLA blocked-gather sampler; backward w.r.t. img = the MXU
+    splat kernel (guarded, falls back to XLA scatter). `window` sets the
+    vertical splat window — for a rotation by <=a degrees over width W it
+    must cover ~W*sin(a) + 10 rows."""
     from mono_vifi_tpu.ops.sampling import grid_sample
 
-    return grid_sample(
-        img, jax.lax.stop_gradient(grid), padding_mode=padding_mode
-    )
+    grid = jax.lax.stop_gradient(grid)
+    if fast_forward and padding_mode == "zeros":
+        from mono_vifi_tpu.ops.pallas import warp as pwarp
+
+        if pwarp.windowed_ok(img.shape, grid.shape):
+            return pwarp.grid_sample_windowed_zeros_safe(img, grid)
+    return grid_sample(img, grid, padding_mode=padding_mode)
 
 
-def _gsfg_fwd(img, grid, padding_mode, window, use_splat, interpret):
+def _gsfg_fwd(img, grid, padding_mode, window, use_splat, interpret,
+              fast_forward):
     out = grid_sample_frozen_grid(
-        img, grid, padding_mode, window, use_splat, interpret
+        img, grid, padding_mode, window, use_splat, interpret, fast_forward
     )
     return out, (grid, img.shape)
 
 
-def _gsfg_bwd(padding_mode, window, use_splat, interpret, res, ct):
+def _gsfg_bwd(padding_mode, window, use_splat, interpret, fast_forward,
+              res, ct):
     grid, img_shape = res
     H, W = img_shape[1], img_shape[2]
     if use_splat:

@@ -180,6 +180,102 @@ def grid_sample_windowed(
     return out_chw.transpose(0, 2, 3, 1).astype(img.dtype)
 
 
+def _windowed_taps(img, y0, x0, window, tap_dtype, interpret):
+    """Run the tap kernel: (B, C, 4, Ho, Wo) border-clamped bilinear taps at
+    integer base (y0, x0) (clipped to [0,H-2]/[0,W-2])."""
+    B, H, W, C = img.shape
+    _, Ho, Wo = y0.shape
+    WH, WW = window
+    img_chw = img.transpose(0, 3, 1, 2)
+    n_ty, n_tx = Ho // TILE_H, Wo // TILE_W
+    kernel = functools.partial(_warp_taps_kernel, WH=WH, WW=WW, H=H, W=W)
+    taps = pl.pallas_call(
+        kernel,
+        grid=(B, C, n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE_H, TILE_W), lambda b, c, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TILE_H, TILE_W), lambda b, c, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, H, W), lambda b, c, i, j: (b, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 4, TILE_H, TILE_W),
+            lambda b, c, i, j: (b, c, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, 4, Ho, Wo), tap_dtype or img.dtype),
+        interpret=interpret,
+    )(y0, x0, img_chw)
+    return jax.lax.stop_gradient(taps)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "align_corners", "interpret", "tap_dtype")
+)
+def grid_sample_windowed_zeros(
+    img: jax.Array,
+    grid: jax.Array,
+    window: tuple[int, int] = (56, 384),
+    align_corners: bool = True,
+    interpret: bool = False,
+    tap_dtype=None,
+) -> jax.Array:
+    """Zeros-padding bilinear sampling via the windowed tap kernel.
+
+    The kernel fetches border-clamped taps; zeros-mode semantics come from
+    the mask-folded separable weights (same construction as
+    splat._zeros_factors / sampling.grid_sample's zeros path): out-of-bounds
+    taps get weight 0 and clipped tap pairs keep each weight attached to its
+    true row/column. Exact under the same window contract as
+    grid_sample_windowed. Used for the batched affine rotations
+    (reference train.py:898/:915: torchvision rotate = zero fill)."""
+    from mono_vifi_tpu.ops.pallas.splat import _zeros_factors
+
+    B, H, W, C = img.shape
+    ly, lx, a0, a1, c0, c1 = _zeros_factors(
+        (H, W), grid.astype(jnp.float32), align_corners
+    )
+    taps = _windowed_taps(
+        img, ly, lx, window=window, tap_dtype=tap_dtype, interpret=interpret
+    )
+    t = taps.astype(jnp.float32)
+    a0 = a0[:, None]
+    a1 = a1[:, None]
+    c0 = c0[:, None]
+    c1 = c1[:, None]
+    out = (
+        a0 * (c0 * t[:, :, 0] + c1 * t[:, :, 1])
+        + a1 * (c0 * t[:, :, 2] + c1 * t[:, :, 3])
+    )
+    return out.transpose(0, 2, 3, 1).astype(img.dtype)
+
+
+def grid_sample_windowed_zeros_safe(img, grid, window=(56, 384), **kwargs):
+    """Windowed zeros-mode sampling with the runtime span guard (falls back
+    to the exact XLA zeros path when any tile exceeds the window)."""
+    from mono_vifi_tpu.ops import sampling
+
+    y0, x0 = _source_coords(img.shape, grid)
+    ok = spans_ok(y0, x0, window)
+    return jax.lax.cond(
+        ok,
+        lambda im, g: grid_sample_windowed_zeros(im, g, window=window, **kwargs),
+        lambda im, g: sampling.grid_sample(
+            im, g, padding_mode="zeros"
+        ).astype(im.dtype),
+        img,
+        grid,
+    )
+
+
 def warp_windowed(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
     """Flow-displacement warp via the windowed kernel (same grid convention
     as ops.sampling.warp / reference networks/IFRNet.py:7-15)."""

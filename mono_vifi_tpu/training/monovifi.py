@@ -238,7 +238,8 @@ class MonoViFiStep:
             angle, box = batch["angle"], batch["box"]
             aff_aug_0 = batch["color_affine_aug_0"]
             rot2 = image_ops.rotate_bilinear(
-                jnp.concatenate([img_nt, img_pt], 0), _tile(angle, 2)
+                jnp.concatenate([img_nt, img_pt], 0), _tile(angle, 2),
+                fast=getattr(self.b, "fast_warp", False),
             )
             aff2 = image_ops.batched_crop_resize(rot2, _tile(box, 2))
             img_nt_aff, img_pt_aff = aff2[:B], aff2[B:]
@@ -379,6 +380,7 @@ class MonoViFiStep:
             restored = image_ops.rotate_bilinear(
                 placed, -_tile(angle, 3),
                 grad_via_splat=getattr(self.b, "fast_warp", False),
+                fast=getattr(self.b, "fast_warp", False),
             )
             ratio = batch["ratio_local"].reshape(B, 1, 1, 1)
             restored = restored * _tile(ratio, 3)

@@ -34,6 +34,7 @@ def test_backbone_train_step(backbone):
     assert float(metrics["grad_norm"]) > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backbone", ["LiteMono", "DHRNet"])
 def test_backbone_eval_forwards(backbone):
     cfg = Options(height=64, width=96, batch_size=1, backbone=backbone,

@@ -89,3 +89,19 @@ def test_windowed_ok_predicate():
     assert not pwarp.windowed_ok((1, 64, 256, 3), (1, 64, 200, 2))  # Wo % 128
     assert not pwarp.windowed_ok((1, 32, 256, 3), (1, 64, 256, 2))  # H < WH
     assert pwarp.windowed_ok((1, 192, 640, 3), (1, 192, 640, 2))
+
+
+def test_windowed_zeros_matches_exact_rotation():
+    """Windowed zeros-mode sampling == exact XLA zeros grid_sample on
+    rotation grids (the affine-branch rotate replacement)."""
+    from mono_vifi_tpu.ops import image as image_ops
+    from mono_vifi_tpu.ops import sampling
+
+    B, H, W, C = 2, 64, 384, 3
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((B, H, W, C)).astype(np.float32))
+    angle = jnp.asarray(np.array([4.0, -5.0], np.float32))
+    grid = image_ops._rotation_grid(angle, H, W)
+    ref = sampling.grid_sample(img, grid, padding_mode="zeros")
+    out = pwarp.grid_sample_windowed_zeros(img, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -73,6 +73,7 @@ def setup():
     return cfg, bundle, tx, state, vfi_params
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_updates(setup):
     cfg, bundle, tx, state, vfi_params = setup
     step = jax.jit(MonoViFiStep(bundle, tx).make_train_step())

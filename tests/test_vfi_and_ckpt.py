@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from mono_vifi_tpu.training.vfi import create_vfi_state, make_vfi_train_step
 from mono_vifi_tpu.training import monovifi
 
 
+@pytest.mark.slow
 def test_vfi_train_step():
     cfg = Options(height=64, width=96, batch_size=2, vfi_scale="small",
                   compute_dtype="float32", lr_sche_type="cos",
