@@ -44,7 +44,7 @@ TILE_H = 8
 TILE_W = 128
 
 
-def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W):
+def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W, CG=1):
     y0 = y0_ref[0]  # (8, 128) int32, clamped to [0, H-2]
     x0 = x0_ref[0]
 
@@ -59,8 +59,6 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W):
     lx = jnp.clip(x0 - ox, 0, WW - 2)
     lx1 = lx + 1
 
-    win = img_ref[0, 0, pl.ds(oy, WH), pl.ds(ox, WW)]  # (WH, WW)
-
     n_chunks = WW // 128
     in_chunk = [
         jnp.logical_and(lx >= k * 128, lx < (k + 1) * 128) for k in range(n_chunks)
@@ -70,33 +68,38 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W):
     ]
     lx_rel = [jnp.clip(lx - k * 128, 0, 127) for k in range(n_chunks)]
     lx1_rel = [jnp.clip(lx1 - k * 128, 0, 127) for k in range(n_chunks)]
+    is_y0 = [ly == r for r in range(WH)]
+    is_y1 = [ly == r - 1 for r in range(WH)]  # i.e. ly + 1 == r
 
-    zero = jnp.zeros((TILE_H, TILE_W), win.dtype)
-    t00 = t01 = t10 = t11 = zero
-    # statically unrolled row loop (Mosaic cannot dynamic_slice values)
-    for r in range(WH):
-        row = win[r : r + 1, :]  # (1, WW), static slice
-        left = zero
-        right = zero
-        for k in range(n_chunks):
-            chunk = jnp.broadcast_to(
-                row[:, k * 128 : (k + 1) * 128], (TILE_H, TILE_W)
-            )
-            gl = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
-            gr = jnp.take_along_axis(chunk, lx1_rel[k], axis=1)
-            left = jnp.where(in_chunk[k], gl, left)
-            right = jnp.where(in_chunk1[k], gr, right)
-        is_y0 = ly == r
-        is_y1 = ly == r - 1  # i.e. ly + 1 == r
-        t00 = jnp.where(is_y0, left, t00)
-        t01 = jnp.where(is_y0, right, t01)
-        t10 = jnp.where(is_y1, left, t10)
-        t11 = jnp.where(is_y1, right, t11)
-    od = out_ref.dtype
-    out_ref[0, 0, 0] = t00.astype(od)
-    out_ref[0, 0, 1] = t01.astype(od)
-    out_ref[0, 0, 2] = t10.astype(od)
-    out_ref[0, 0, 3] = t11.astype(od)
+    # CG channel planes share one program: the per-pixel index resolution
+    # above is reused, and grid overhead (the dominant cost for small-C
+    # image warps at ~2us/program) drops by CG
+    for c in range(CG):
+        win = img_ref[0, c, pl.ds(oy, WH), pl.ds(ox, WW)]  # (WH, WW)
+        zero = jnp.zeros((TILE_H, TILE_W), win.dtype)
+        t00 = t01 = t10 = t11 = zero
+        # statically unrolled row loop (Mosaic cannot dynamic_slice values)
+        for r in range(WH):
+            row = win[r : r + 1, :]  # (1, WW), static slice
+            left = zero
+            right = zero
+            for k in range(n_chunks):
+                chunk = jnp.broadcast_to(
+                    row[:, k * 128 : (k + 1) * 128], (TILE_H, TILE_W)
+                )
+                gl = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
+                gr = jnp.take_along_axis(chunk, lx1_rel[k], axis=1)
+                left = jnp.where(in_chunk[k], gl, left)
+                right = jnp.where(in_chunk1[k], gr, right)
+            t00 = jnp.where(is_y0[r], left, t00)
+            t01 = jnp.where(is_y0[r], right, t01)
+            t10 = jnp.where(is_y1[r], left, t10)
+            t11 = jnp.where(is_y1[r], right, t11)
+        od = out_ref.dtype
+        out_ref[0, c, 0] = t00.astype(od)
+        out_ref[0, c, 1] = t01.astype(od)
+        out_ref[0, c, 2] = t10.astype(od)
+        out_ref[0, c, 3] = t11.astype(od)
 
 
 @functools.partial(
@@ -137,39 +140,9 @@ def grid_sample_windowed(
     x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
     y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
 
-    img_chw = img.transpose(0, 3, 1, 2)  # (B, C, H, W)
-    n_ty, n_tx = Ho // TILE_H, Wo // TILE_W
-
-    kernel = functools.partial(_warp_taps_kernel, WH=WH, WW=WW, H=H, W=W)
-    taps = pl.pallas_call(
-        kernel,
-        grid=(B, C, n_ty, n_tx),
-        in_specs=[
-            pl.BlockSpec(
-                (1, TILE_H, TILE_W),
-                lambda b, c, i, j: (b, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, TILE_H, TILE_W),
-                lambda b, c, i, j: (b, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, H, W),
-                lambda b, c, i, j: (b, c, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 4, TILE_H, TILE_W),
-            lambda b, c, i, j: (b, c, 0, i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, C, 4, Ho, Wo), tap_dtype or img.dtype),
-        interpret=interpret,
-    )(y0, x0, img_chw)
-    taps = jax.lax.stop_gradient(taps)
+    taps = _windowed_taps(
+        img, y0, x0, window=window, tap_dtype=tap_dtype, interpret=interpret
+    )
 
     wxc = wx[..., 0][:, None]  # (B, 1, Ho, Wo)
     wyc = wy[..., 0][:, None]
@@ -186,12 +159,17 @@ def _windowed_taps(img, y0, x0, window, tap_dtype, interpret):
     B, H, W, C = img.shape
     _, Ho, Wo = y0.shape
     WH, WW = window
+    # group up to 4 channel planes per program: index resolution is shared
+    # and grid overhead drops by CG (big for C=3 image warps)
+    CG = C if C <= 4 else 1
     img_chw = img.transpose(0, 3, 1, 2)
     n_ty, n_tx = Ho // TILE_H, Wo // TILE_W
-    kernel = functools.partial(_warp_taps_kernel, WH=WH, WW=WW, H=H, W=W)
+    kernel = functools.partial(
+        _warp_taps_kernel, WH=WH, WW=WW, H=H, W=W, CG=CG
+    )
     taps = pl.pallas_call(
         kernel,
-        grid=(B, C, n_ty, n_tx),
+        grid=(B, C // CG, n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(
                 (1, TILE_H, TILE_W), lambda b, c, i, j: (b, i, j),
@@ -202,12 +180,12 @@ def _windowed_taps(img, y0, x0, window, tap_dtype, interpret):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, H, W), lambda b, c, i, j: (b, c, 0, 0),
+                (1, CG, H, W), lambda b, c, i, j: (b, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 4, TILE_H, TILE_W),
+            (1, CG, 4, TILE_H, TILE_W),
             lambda b, c, i, j: (b, c, 0, i, j),
             memory_space=pltpu.VMEM,
         ),
