@@ -77,6 +77,8 @@ class Options:
     weights_dir: str = "./weights"  # frozen VFI / pretrained encoder weights
     profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps
     debug_nans: bool = False  # enable jax nan-checking (slow; debugging aid)
+    encoder_remat: bool = False  # rematerialize the fused encoder pass in
+    # backward (saves HBM at ~1 extra encoder forward/step; enable for HR)
     fast_warp: bool = True  # windowed Pallas warp for training-time image
     # warps (TPU only; see ops/pallas/warp.py exactness contract)
     vfi_train_scale: str = "large"  # frozen training-VFI variant
@@ -92,7 +94,7 @@ class Options:
 
 _BOOL_FIELDS = {
     "jpg", "use_stereo", "resume", "avg_reprojection", "disable_automasking",
-    "no_ssim", "use_affine", "debug_nans", "fast_warp",
+    "no_ssim", "use_affine", "debug_nans", "fast_warp", "encoder_remat",
 }
 _LIST_INT_FIELDS = {"frame_ids", "decay_step"}
 

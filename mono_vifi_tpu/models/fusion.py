@@ -120,16 +120,68 @@ class FusionModule(nn.Module):
 
         fused = []
         for i in range(levels):
-            center = jnp.concatenate([feats_0[i], emb_0[i]], axis=-1)
-            n1 = jnp.concatenate([feats_n1_0[i], emb_n1[i]], axis=-1)
-            p1 = jnp.concatenate([feats_p1_0[i], emb_p1[i]], axis=-1)
-            H, W = center.shape[1], center.shape[2]
+            H, W = feats_0[i].shape[1], feats_0[i].shape[2]
             mask = resize_bilinear(merge_mask, (H, W))
-            blended = mask * n1 + (1 - mask) * p1
-            merged = jnp.concatenate([center, blended], axis=-1)
             fused.append(
-                ConvBlock1x1(
+                _SplitFuse1x1(
                     int(self.num_ch_enc[i]), self.dtype, name=f"conv1x1_{i}"
-                )(merged)
+                )(
+                    feats_0[i], emb_0[i],
+                    feats_n1_0[i], emb_n1[i],
+                    feats_p1_0[i], emb_p1[i],
+                    mask,
+                )
             )
         return fused
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter container matching nn.Conv's {kernel, bias} names/inits so
+    checkpoints and converters see an ordinary 1x1 conv."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.cin, self.cout)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.cout,))
+        return k, b
+
+
+class _SplitFuse1x1(nn.Module):
+    """elu(conv1x1(concat([feat0, emb0, mask*[fn1|en1] + (1-mask)*[fp1|ep1]])))
+    evaluated as a sum of sliced-kernel matmuls (reference
+    networks/fusion_module.py:105-130 semantics, identical up to fp
+    reassociation). Avoids materializing the two ~(C+42)-channel concat
+    tensors, and the zero-flow embedding term (emb0 is a spatial constant)
+    constant-folds to an effective bias."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, feat0, emb0, fn1, en1, fp1, ep1, mask):
+        cf = feat0.shape[-1]
+        ce = emb0.shape[-1]
+        k, b = _Conv1x1Params(2 * (cf + ce), self.features, name="conv")()
+        cd = self.dtype or jnp.float32
+        kd = k[0, 0].astype(cd)  # (2*(cf+ce), features)
+        k_f0 = kd[:cf]
+        k_e0 = kd[cf : cf + ce]
+        k_bf = kd[cf + ce : 2 * cf + ce]
+        k_be = kd[2 * cf + ce :]
+        mask = mask.astype(cd)
+        one = jnp.ones((), cd)
+        bfeat = mask * fn1.astype(cd) + (one - mask) * fp1.astype(cd)
+        bemb = mask * en1.astype(cd) + (one - mask) * ep1.astype(cd)
+        y = (
+            feat0.astype(cd) @ k_f0
+            + emb0.astype(cd) @ k_e0
+            + bfeat @ k_bf
+            + bemb @ k_be
+            + b.astype(cd)
+        )
+        return nn.elu(y)

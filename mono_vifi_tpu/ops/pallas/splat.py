@@ -475,7 +475,7 @@ def _zeros_factors(img_hw, grid, align_corners=True):
 
 def grid_sample_adjoint_image(
     ct, img_hw, grid, padding_mode="border", align_corners=True,
-    window=(32, 0), interpret=False,
+    window=(24, 0), interpret=False,
 ):
     """d(grid_sample)/d(img)^T applied to ct, via the MXU splat kernel with
     a runtime in-window guard falling back to the exact XLA scatter."""

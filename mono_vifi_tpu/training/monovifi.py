@@ -70,14 +70,17 @@ class MonoViFiStep:
         if train:
             rngs = {"droppath": rng} if rng is not None else None
 
-            # rematerialize: the fused encoder pass over 5-8B images is
-            # cheap to recompute (~40ms) but its activation pyramids are
-            # hundreds of MB — recompute in backward instead of storing.
-            @functools.partial(jax.checkpoint, static_argnums=())
             def run(v, xx):
                 return module.apply(
                     v, xx, train=True, mutable=["batch_stats"], rngs=rngs
                 )
+
+            if getattr(self.cfg, "encoder_remat", False):
+                # rematerialize: recompute the fused encoder pass in the
+                # backward instead of storing its activation pyramids.
+                # Costs ~1 extra encoder forward per step — only worth it
+                # when activations don't fit HBM (HR resolutions/big batch).
+                run = jax.checkpoint(run)
 
             feats, mut = run(variables, x)
             return feats, mut["batch_stats"]
