@@ -82,7 +82,7 @@ def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
         a1 = a1_ref[0, 0, :, sl]
         c0 = c0_ref[0, 0, :, sl]
         c1 = c1_ref[0, 0, :, sl]
-        v = v_ref[0, 0, sl, :].astype(jnp.bfloat16)  # (PCHUNK, C)
+        v = v_ref[0, 0, sl, :]  # (PCHUNK, C) bf16
 
         # separable one-hot selection (f32 selects share the i1 masks'
         # (8,128) layout; Mosaic cannot relayout i1 vectors to bf16 tiling)
@@ -267,11 +267,13 @@ def bilinear_splat(
     def pad_b(x):
         return jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
 
+    # values travel in bf16 (the kernel contracts in bf16 regardless) —
+    # halves the band-flatten transpose and the per-program DMA
     args = (
         pad_b(lyl), pad_b(lxc),
         pad_b(a0.astype(f32)), pad_b(a1.astype(f32)),
         pad_b(c0.astype(f32)), pad_b(c1.astype(f32)),
-        pad_b(ct.astype(f32)), pad_b(dy),
+        pad_b(ct.astype(jnp.bfloat16)), pad_b(dy),
     )
     args = jax.tree_util.tree_map(
         lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), args

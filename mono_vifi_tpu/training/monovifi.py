@@ -112,9 +112,17 @@ class MonoViFiStep:
         ):
             td = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
             # _safe: runtime span guard falls back to the exact gather when
-            # early-training depth produces out-of-window offsets
-            pred_n1 = _f32(pwarp.grid_sample_windowed_safe(src_n1, grid_n1, tap_dtype=td))
-            pred_p1 = _f32(pwarp.grid_sample_windowed_safe(src_p1, grid_p1, tap_dtype=td))
+            # early-training depth produces out-of-window offsets; both
+            # source frames batch into ONE kernel launch
+            pred2 = _f32(
+                pwarp.grid_sample_windowed_safe(
+                    jnp.concatenate([src_n1, src_p1], 0),
+                    jnp.concatenate([grid_n1, grid_p1], 0),
+                    tap_dtype=td,
+                )
+            )
+            N = src_n1.shape[0]
+            pred_n1, pred_p1 = pred2[:N], pred2[N:]
         else:
             gd = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
             pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
