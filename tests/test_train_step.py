@@ -173,5 +173,5 @@ def test_train_step_sharded_8_devices():
         # atol covers reduction-order fp differences of the sharded
         # interpolation-matmul affine ops (1-2 ulp-scale on grads)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3
+            np.asarray(a), np.asarray(b), atol=6e-4, rtol=2e-3
         )
