@@ -150,6 +150,10 @@ def rotate_bilinear(
     for rotations up to ~6 degrees — larger angles trip the runtime guard
     and fall back to the exact scatter.
 
+    `fast` WITHOUT `grad_via_splat` is for gradient-free images only: the
+    windowed kernel's taps are non-differentiable, so the input is
+    explicitly stop_gradient'ed (a silent zero gradient would be a trap).
+
     Args:
       img: (B, H, W, C).
       angle_deg: (B,) rotation angles in degrees (counterclockwise).
@@ -167,7 +171,9 @@ def rotate_bilinear(
         from mono_vifi_tpu.ops.pallas import warp as pwarp
 
         if pwarp.windowed_ok(img.shape, grid.shape):
-            return pwarp.grid_sample_windowed_zeros_safe(img, grid)
+            return pwarp.grid_sample_windowed_zeros_safe(
+                jax.lax.stop_gradient(img), grid
+            )
     return grid_sample(img, grid, padding_mode="zeros", align_corners=True)
 
 
@@ -203,8 +209,11 @@ def batched_crop_resize(img: jax.Array, box: jax.Array) -> jax.Array:
     i = jnp.arange(H, dtype=jnp.float32)[None]
     sx = jnp.clip((j + 0.5) * (w / W)[:, None] - 0.5, 0.0, (w - 1)[:, None])
     sy = jnp.clip((i + 0.5) * (h / H)[:, None] - 0.5, 0.0, (h - 1)[:, None])
-    sx = sx + x0[:, None]
-    sy = sy + y0[:, None]
+    # border-clamp to the image interior for out-of-image boxes (matches the
+    # previous grid_sample border semantics; interpolation weights stay in
+    # [0, 1] instead of extrapolating)
+    sx = jnp.clip(sx + x0[:, None], 0.0, W - 1.0)
+    sy = jnp.clip(sy + y0[:, None], 0.0, H - 1.0)
     one = jnp.ones_like(sy)
     My = _interp_rows(sy, one, H, H)  # (B, H, H)
     Mx = _interp_rows(sx, jnp.ones_like(sx), W, W)  # (B, W, W)

@@ -156,6 +156,44 @@ def _band_flatten(x: jax.Array, Ho: int, Wo: int, mode: str = "constant"):
     return x.reshape((B, nty, 1, ntx * TILE_H * TILE_W) + trailing)
 
 
+def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a):
+    """Overlap-add the regularly-placed band windows into the adjoint plane.
+
+    `windows` is (B, nty, WH, Wp, ...trailing) — the same logic serves the
+    channelled and channel-less (C=1) kernels. Mode A: all bands at origin
+    0 -> plain sum. Mode B: window-row chunk i of band t lands on canvas
+    band t+i (chunk size == band stride == 8), so the overlap-add is a sum
+    of band-padded chunk arrays — one fused XLA add-tree, NOT a sequential
+    .at[].add chain (which copies the whole canvas per chunk; measured ~4x
+    slower) — and the per-image vertical shift dy is undone by one row
+    gather (byte-bound, cheap)."""
+    f32 = jnp.float32
+    B = windows.shape[0]
+    trailing = windows.shape[4:]
+    if mode_a:
+        plane = jnp.sum(windows.astype(f32), axis=1)
+        return plane[:, :H, :W]
+
+    K = WH // 8
+    canvasH = 8 * (nty + K - 1)
+    chunks = windows.reshape((B, nty, K, 8, Wp) + trailing)
+    acc = None
+    for i in range(K):
+        pads = [(0, 0), (i, K - 1 - i)] + [(0, 0)] * (chunks.ndim - 3)
+        blk = jnp.pad(chunks[:, :, i].astype(f32), pads)
+        acc = blk if acc is None else acc + blk
+    canvas = acc.reshape((B, canvasH, Wp) + trailing)
+
+    rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
+    valid = (rows >= 0) & (rows < canvasH)
+    rows_c = jnp.clip(rows, 0, canvasH - 1)
+    idx = rows_c.reshape((B, H) + (1,) * (canvas.ndim - 2))
+    plane = jnp.take_along_axis(canvas, idx, axis=1)
+    vm = valid.reshape((B, H) + (1,) * (canvas.ndim - 2))
+    plane = jnp.where(vm, plane, 0.0)
+    return plane[:, :, :W]
+
+
 def _mode_a(out_hw, window) -> bool:
     """Full vertical coverage: window spans the whole padded plane height,
     origin 0 for every band -> exact for ANY taps (no budget, no shift)."""
@@ -195,7 +233,7 @@ def _prepare(ly, lx, out_hw, window):
     return lyl, dy, ok
 
 
-def splat_spans_ok(ly, lx, out_hw, window=(32, 0)) -> jax.Array:
+def splat_spans_ok(ly, lx, out_hw, window=(24, 0)) -> jax.Array:
     """Scalar bool: would the windowed splat be exact for these taps?"""
     return _prepare(ly, lx, out_hw, window)[2]
 
@@ -327,27 +365,10 @@ def _splat_core1(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
         ),
     )(lylt, lxt, a0t, a1t, c0t, c1t)
 
-    if mode_a:
-        plane = jnp.sum(windows.astype(f32), axis=1)
-        return plane[:, :H, :W, None]
-
-    K = WH // 8
-    canvasH = 8 * (nty + K - 1)
-    chunks = windows.reshape(B, nty, K, 8, Wp)
-    acc = None
-    for i in range(K):
-        blk = jnp.pad(
-            chunks[:, :, i].astype(f32), ((0, 0), (i, K - 1 - i), (0, 0), (0, 0))
-        )
-        acc = blk if acc is None else acc + blk
-    canvas = acc.reshape(B, canvasH, Wp)
-
-    rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
-    valid = (rows >= 0) & (rows < canvasH)
-    rows_c = jnp.clip(rows, 0, canvasH - 1)
-    plane = jnp.take_along_axis(canvas, rows_c[:, :, None], axis=1)
-    plane = jnp.where(valid[:, :, None], plane, 0.0)
-    return plane[:, :, :W, None]
+    return _combine_bands(
+        windows, dy, H=H, W=W, WH=WH, Wp=Wp, nty=nty, pad_y=pad_y,
+        mode_a=mode_a,
+    )[..., None]
 
 
 def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
@@ -390,34 +411,10 @@ def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
         ),
     )(lylt, lxt, a0t, a1t, c0t, c1t, vt)
 
-    if mode_a:
-        plane = jnp.sum(windows.astype(f32), axis=1)  # bands all at origin 0
-        return plane[:, :H, :W, :]
-
-    # Static overlap-add of the regularly-placed band windows. Window-row
-    # chunk i of band t lands on canvas band t+i (chunk size == band stride
-    # == 8), so the overlap-add is a plain sum of band-padded chunk arrays
-    # — one fused XLA add-tree, NOT a sequential .at[].add chain (which
-    # copies the whole canvas per chunk; measured ~4x slower).
-    K = WH // 8
-    canvasH = 8 * (nty + K - 1)
-    chunks = windows.reshape(B, nty, K, 8, Wp, C)
-    acc = None
-    for i in range(K):
-        blk = jnp.pad(
-            chunks[:, :, i].astype(f32),
-            ((0, 0), (i, K - 1 - i), (0, 0), (0, 0), (0, 0)),
-        )
-        acc = blk if acc is None else acc + blk
-    canvas = acc.reshape(B, canvasH, Wp, C)
-
-    # undo the per-image vertical shift with one row gather
-    rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
-    valid = (rows >= 0) & (rows < canvasH)
-    rows_c = jnp.clip(rows, 0, canvasH - 1)
-    plane = jnp.take_along_axis(canvas, rows_c[:, :, None, None], axis=1)
-    plane = jnp.where(valid[:, :, None, None], plane, 0.0)
-    return plane[:, :, :W, :]
+    return _combine_bands(
+        windows, dy, H=H, W=W, WH=WH, Wp=Wp, nty=nty, pad_y=pad_y,
+        mode_a=mode_a,
+    )
 
 
 # ------------------------------------------------------------------ wrappers

@@ -52,10 +52,13 @@ def main():
         flow = base + 2.0 * jnp.sin(xs) * jnp.cos(ys)
         ct = jax.random.normal(k3, (B, H, W, C), jnp.float32)
 
-        # XLA path: VJP of the exact warp w.r.t. img
-        def xla_adj(img_, flow_, ct_):
-            _, vjp = jax.vjp(lambda im: warp(im, flow_), img_)
-            return vjp(ct_)[0]
+        # XLA path: the adjoint alone (factors computed inside, like the
+        # splat side — a vjp would also time the forward warp and inflate
+        # the reported speedup)
+        def xla_adj(flow_, ct_):
+            grid = S._flow_to_grid(flow_, H, W)
+            f = S._border_factors((H, W), grid)
+            return S._xla_splat(ct_, *f, (H, W))
 
         xla_adj_j = jax.jit(xla_adj)
 
@@ -65,9 +68,9 @@ def main():
 
         splat_adj_j = jax.jit(splat_adj)
 
-        t_xla = timeit(xla_adj_j, img, flow, ct)
+        t_xla = timeit(xla_adj_j, flow, ct)
         t_spl = timeit(splat_adj_j, flow, ct)
-        a = xla_adj_j(img, flow, ct)
+        a = xla_adj_j(flow, ct)
         b = splat_adj_j(flow, ct)
         err = float(jnp.max(jnp.abs(a - b)))
         rel = err / (float(jnp.max(jnp.abs(a))) + 1e-12)
