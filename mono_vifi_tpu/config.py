@@ -64,6 +64,13 @@ class Options:
     vfi_scale: str = "small"
     fuse_model_type: str = "shared_encoder"
     use_affine: bool = False
+    doj_mask: bool = False  # load Cityscapes dynamic-object masks into the
+    # batch (reference datasets/mono_dataset.py:171-186 — dataset-level only
+    # in the reference; the trainer there never consumes them)
+    mask_dir: str = ""  # doj mask directory (reference hardcodes ./train_mask)
+    use_smooth_dyn: bool = False  # use doj-weighted smoothness
+    # (reference layers.py:244-258 get_smooth_loss_dyn, unused by the
+    # reference trainer) on frame-0 targets when doj masks are in the batch
 
     # system
     num_workers: int = 16
@@ -95,6 +102,7 @@ class Options:
 _BOOL_FIELDS = {
     "jpg", "use_stereo", "resume", "avg_reprojection", "disable_automasking",
     "no_ssim", "use_affine", "debug_nans", "fast_warp", "encoder_remat",
+    "doj_mask", "use_smooth_dyn", "distributed",
 }
 _LIST_INT_FIELDS = {"frame_ids", "decay_step"}
 

@@ -112,19 +112,20 @@ class CityscapesDataset(MonoDataset):
         return frames
 
     def get_doj_masks(self, city, frame_name, do_flip):
-        """Load per-frame dynamic-object masks as (H, W, 1) float arrays,
-        resized to the network resolution."""
-        import numpy as np
-        from mono_vifi_tpu.data.augment import to_array
-
+        """Native-resolution dynamic-object mask PILs keyed by frame name
+        (reference cityscapes_dataset.py:137-161); MonoDataset.__getitem__
+        resizes/affines them into the batch."""
         c, seq, frame = frame_name.split("_")
         frame = int(frame)
         out = {}
-        for suffix, key in (("", "doj_mask_0"), ("-1", "doj_mask_n1"), ("+1", "doj_mask_p1")):
-            mask = np.load(os.path.join(self.mask_dir, f"{c}_{seq}_{frame}{suffix}.npy"))
+        for suffix, key in (("", "0"), ("-1", "n1"), ("+1", "p1")):
+            mask = np.load(
+                os.path.join(self.mask_dir, f"{c}_{seq}_{frame}{suffix}.npy")
+            )
+            if mask.dtype != np.uint8:  # float/bool masks -> 0/255 uint8
+                mask = (mask > 0).astype(np.uint8) * 255
             img = Image.fromarray(mask)
             if do_flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            img = img.resize((self.width, self.height), Image.BILINEAR)
-            out[key] = to_array(img)
+            out[key] = img
         return out

@@ -11,6 +11,16 @@ contract of training.monovifi):
            Rc (3,3), ratio_local (1,), angle (), box (4,),
            valid_mask_rec / valid_mask_cons      (H, W, 1)
   [stereo] stereo_T (4, 4)
+  [num_scales>1] color_{name}_s{i}, color_aug_{name}_s{i}  (H/2^i, W/2^i, 3)
+           for i in 1..num_scales-1 (progressive resize from the previous
+           scale, reference mono_dataset.py:87-91, :156-162), plus
+           color_affine[_aug]_{name}_s{i} under affine, color_affine_aug_{n1,p1}
+           at scale 0, and per-scale intrinsics K_s{i}/inv_K_s{i}
+           (reference :243-252). With num_scales=1 (every shipped config) the
+           lean scale-0-only contract above is emitted.
+  [doj_mask] doj_mask_{n1,0,p1}                  (H, W, 1)
+           (+ train/affine: doj_mask_{name}_affine) — reference
+           mono_dataset.py:171-186; Cityscapes only.
 
 Augmentation randomness is derived from (seed, epoch, index) so any sample is
 reproducible — strictly stronger determinism than the reference's global-RNG
@@ -190,6 +200,15 @@ class MonoDataset:
         inv_K = np.linalg.pinv(K).astype(np.float32)
 
         out = {"K": K.astype(np.float32), "inv_K": inv_K}
+        if self.num_scales > 1:
+            # per-scale intrinsics pyramid (reference :243-252 builds these
+            # with integer-divided dimensions)
+            for s in range(1, self.num_scales):
+                Ks = K0.copy()
+                Ks[0, :] *= self.width // (2**s)
+                Ks[1, :] *= self.height // (2**s)
+                out[f"K_s{s}"] = Ks.astype(np.float32)
+                out[f"inv_K_s{s}"] = np.linalg.pinv(Ks).astype(np.float32)
 
         jitter = ColorJitter(rng=rng) if do_color_aug else Identity()
 
@@ -198,17 +217,34 @@ class MonoDataset:
             affine = self._affine_params(rng, K, inv_K)
             resize_local = lambda im: im.resize(affine["size_re"], self.interp)
 
+        full_pyramid = self.num_scales > 1
         for name, img in raw.items():
             resized = img.resize((self.width, self.height), self.interp)
             out[f"color_{name}"] = to_array(resized)
             out[f"color_aug_{name}"] = to_array(jitter(resized))
+            im = None
             if affine is not None:
                 im = resize_local(img)
                 im = im.rotate(affine["angle"], resample=Image.BILINEAR, expand=False)
                 im = im.crop(affine["crop"])
                 out[f"color_affine_{name}"] = to_array(im)
-                if name == "0":
-                    out["color_affine_aug_0"] = to_array(jitter(im))
+                if name == "0" or full_pyramid:
+                    out[f"color_affine_aug_{name}"] = to_array(jitter(im))
+            if full_pyramid:
+                # progressive resize from the previous scale (reference
+                # :156-162: resize[i] applied to the scale i-1 image)
+                prev, prev_aff = resized, im
+                for s in range(1, self.num_scales):
+                    size = (self.width // 2**s, self.height // 2**s)
+                    prev = prev.resize(size, self.interp)
+                    out[f"color_{name}_s{s}"] = to_array(prev)
+                    out[f"color_aug_{name}_s{s}"] = to_array(jitter(prev))
+                    if prev_aff is not None:
+                        prev_aff = prev_aff.resize(size, self.interp)
+                        out[f"color_affine_{name}_s{s}"] = to_array(prev_aff)
+                        out[f"color_affine_aug_{name}_s{s}"] = to_array(
+                            jitter(prev_aff)
+                        )
 
         if affine is not None:
             mask_rec, mask_cons = self._affine_masks(affine)
@@ -222,6 +258,21 @@ class MonoDataset:
                     "valid_mask_cons": mask_cons,
                 }
             )
+
+        # dynamic-object masks (reference mono_dataset.py:171-186: scale-0
+        # resize always; affine rotate+crop variants during training)
+        if getattr(self, "doj_mask", False):
+            doj_raw = self.get_doj_masks(folder, frame_index, do_flip)
+            for name, m in doj_raw.items():
+                res = m.resize((self.width, self.height), self.interp)
+                out[f"doj_mask_{name}"] = to_array(res)
+                if affine is not None:
+                    ma = resize_local(m)
+                    ma = ma.rotate(
+                        affine["angle"], resample=Image.BILINEAR, expand=False
+                    )
+                    ma = ma.crop(affine["crop"])
+                    out[f"doj_mask_{name}_affine"] = to_array(ma)
 
         if "s" in self.frame_idxs:
             stereo_T = np.eye(4, dtype=np.float32)

@@ -95,29 +95,50 @@ def _avg_pool_3x3_planar(x: jax.Array) -> jax.Array:
     return s / 9.0
 
 
-def ssim_planar(x: jax.Array, y: jax.Array) -> jax.Array:
-    """SSIM loss map on (B, C, H, W) planes -> (B, C, H, W)."""
-    pad = ((0, 0), (0, 0), (1, 1), (1, 1))
-    x = jnp.pad(x, pad, mode="reflect")
-    y = jnp.pad(y, pad, mode="reflect")
+_PAD_PL = ((0, 0), (0, 0), (1, 1), (1, 1))
+
+
+def target_moments_planar(y: jax.Array):
+    """Precompute the target-side SSIM terms shared by every comparison
+    against the same target: (y_pad, mu_y, sigma_y). One photometric stack
+    entry compares 4 sources (2 predictions + 2 identity) against one
+    target — sharing these drops 6 of the 20 pools per entry, exactly."""
+    y_pad = jnp.pad(y, _PAD_PL, mode="reflect")
+    mu_y = _avg_pool_3x3_planar(y_pad)
+    sigma_y = _avg_pool_3x3_planar(y_pad * y_pad) - mu_y * mu_y
+    return y_pad, mu_y, sigma_y
+
+
+def ssim_planar_pre(x: jax.Array, y_pad, mu_y, sigma_y) -> jax.Array:
+    """SSIM loss map against precomputed target moments -> (B, C, H, W)."""
+    x = jnp.pad(x, _PAD_PL, mode="reflect")
     mu_x = _avg_pool_3x3_planar(x)
-    mu_y = _avg_pool_3x3_planar(y)
     sigma_x = _avg_pool_3x3_planar(x * x) - mu_x * mu_x
-    sigma_y = _avg_pool_3x3_planar(y * y) - mu_y * mu_y
-    sigma_xy = _avg_pool_3x3_planar(x * y) - mu_x * mu_y
+    sigma_xy = _avg_pool_3x3_planar(x * y_pad) - mu_x * mu_y
     n = (2 * mu_x * mu_y + _SSIM_C1) * (2 * sigma_xy + _SSIM_C2)
     d = (mu_x**2 + mu_y**2 + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
     return jnp.clip((1 - n / d) / 2, 0.0, 1.0)
 
 
+def ssim_planar(x: jax.Array, y: jax.Array) -> jax.Array:
+    """SSIM loss map on (B, C, H, W) planes -> (B, C, H, W)."""
+    return ssim_planar_pre(x, *target_moments_planar(y))
+
+
 def reprojection_loss_planar(
-    pred: jax.Array, target: jax.Array, use_ssim: bool = True
+    pred: jax.Array, target: jax.Array, use_ssim: bool = True, moments=None
 ) -> jax.Array:
-    """0.85*SSIM + 0.15*L1, channel-averaged: (B, C, H, W) -> (B, H, W)."""
+    """0.85*SSIM + 0.15*L1, channel-averaged: (B, C, H, W) -> (B, H, W).
+
+    `moments`: optional precomputed target_moments_planar(target) to share
+    target-side pools across comparisons (bit-identical result).
+    """
     l1 = jnp.mean(jnp.abs(target - pred), axis=1)
     if not use_ssim:
         return l1
-    s = jnp.mean(ssim_planar(pred, target), axis=1)
+    if moments is None:
+        moments = target_moments_planar(target)
+    s = jnp.mean(ssim_planar_pre(pred, *moments), axis=1)
     return 0.85 * s + 0.15 * l1
 
 
@@ -129,6 +150,26 @@ def smooth_loss_planar(disp: jax.Array, img: jax.Array) -> jax.Array:
     grad_img_y = jnp.mean(jnp.abs(img[..., :-1, :] - img[..., 1:, :]), axis=1)
     return jnp.mean(grad_disp_x * jnp.exp(-grad_img_x)) + jnp.mean(
         grad_disp_y * jnp.exp(-grad_img_y)
+    )
+
+
+def smooth_loss_dyn_planar(
+    disp: jax.Array, img: jax.Array, mask_dyn: jax.Array
+) -> jax.Array:
+    """Planar-layout smooth_loss_dyn (reference layers.py:244-258).
+
+    disp: (B, H, W); img: (B, C, H, W); mask_dyn: (B, H, W). A zero mask
+    reduces exactly to smooth_loss_planar (M=1, img unchanged), so stacked
+    targets without doj masks can share one call.
+    """
+    M = 100.0 * mask_dyn + (1.0 - mask_dyn)
+    img = (1.0 - mask_dyn)[:, None] * img
+    grad_disp_x = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
+    grad_disp_y = jnp.abs(disp[:, :-1, :] - disp[:, 1:, :])
+    grad_img_x = jnp.mean(jnp.abs(img[..., :, :-1] - img[..., :, 1:]), axis=1)
+    grad_img_y = jnp.mean(jnp.abs(img[..., :-1, :] - img[..., 1:, :]), axis=1)
+    return jnp.mean(grad_disp_x * jnp.exp(-grad_img_x)) + jnp.mean(
+        grad_disp_y * jnp.exp(-grad_img_y) * M[:, :-1, :]
     )
 
 

@@ -97,7 +97,7 @@ class MonoViFiStep:
         return "encoder"
 
     def _photometric(self, disp, tgt, src_n1, src_p1, T_n1, T_p1, K, invK, rng,
-                     mask_rec=None):
+                     mask_rec=None, smooth_dyn_mask=None, ident_reuse=None):
         """Batched compute_losses_base (reference train.py:987-1051).
 
         All args stacked along batch; returns scalar mean over the stack.
@@ -130,13 +130,20 @@ class MonoViFiStep:
 
         # channel-planar loss layout: stacking candidate loss maps along the
         # LEADING axis keeps the tiled (H, W) pair intact (a trailing
-        # candidate axis would re-create the tiny-minor-dim tile padding)
+        # candidate axis would re-create the tiny-minor-dim tile padding).
+        # Target-side SSIM moments are computed once and shared by all 4
+        # comparisons against each target (bit-identical, 30% fewer pools).
         use_ssim = not cfg.no_ssim
         tgt_pl = L.to_planar(tgt)
+        moments = L.target_moments_planar(tgt_pl) if use_ssim else None
         reproj = jnp.stack(
             [
-                L.reprojection_loss_planar(L.to_planar(pred_n1), tgt_pl, use_ssim),
-                L.reprojection_loss_planar(L.to_planar(pred_p1), tgt_pl, use_ssim),
+                L.reprojection_loss_planar(
+                    L.to_planar(pred_n1), tgt_pl, use_ssim, moments
+                ),
+                L.reprojection_loss_planar(
+                    L.to_planar(pred_p1), tgt_pl, use_ssim, moments
+                ),
             ],
             axis=0,
         )
@@ -144,13 +151,46 @@ class MonoViFiStep:
             reproj = jnp.mean(reproj, axis=0, keepdims=True)
 
         if not cfg.disable_automasking:
-            ident = jnp.stack(
-                [
-                    L.reprojection_loss_planar(L.to_planar(src_n1), tgt_pl, use_ssim),
-                    L.reprojection_loss_planar(L.to_planar(src_p1), tgt_pl, use_ssim),
-                ],
-                axis=0,
-            )
+            if ident_reuse is not None:
+                # the stacked targets repeat (e.g. the 6-target stack's
+                # entries 3..5 reuse targets 0, 2, 1): the gradient-free
+                # identity losses are equal for equal (src, tgt) blocks, so
+                # compute each unique block once and re-index — identical
+                # values, 50% fewer identity SSIM maps
+                k = len(ident_reuse)
+                Bs = tgt_pl.shape[0] // k
+                u = max(ident_reuse) + 1
+                mom_u = jax.tree.map(lambda m: m[: u * Bs], moments) \
+                    if moments is not None else None
+                ident_u = jnp.stack(
+                    [
+                        L.reprojection_loss_planar(
+                            L.to_planar(src_n1[: u * Bs]), tgt_pl[: u * Bs],
+                            use_ssim, mom_u,
+                        ),
+                        L.reprojection_loss_planar(
+                            L.to_planar(src_p1[: u * Bs]), tgt_pl[: u * Bs],
+                            use_ssim, mom_u,
+                        ),
+                    ],
+                    axis=0,
+                )
+                ident = jnp.concatenate(
+                    [ident_u[:, i * Bs : (i + 1) * Bs] for i in ident_reuse],
+                    axis=1,
+                )
+            else:
+                ident = jnp.stack(
+                    [
+                        L.reprojection_loss_planar(
+                            L.to_planar(src_n1), tgt_pl, use_ssim, moments
+                        ),
+                        L.reprojection_loss_planar(
+                            L.to_planar(src_p1), tgt_pl, use_ssim, moments
+                        ),
+                    ],
+                    axis=0,
+                )
             if cfg.avg_reprojection:
                 ident = jnp.mean(ident, axis=0, keepdims=True)
             ident = ident + jax.random.normal(rng, ident.shape) * 1e-5
@@ -165,9 +205,15 @@ class MonoViFiStep:
 
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         norm_disp = disp / (mean_disp + 1e-7)
-        loss = loss + cfg.disparity_smoothness * L.smooth_loss_planar(
-            norm_disp[..., 0], tgt_pl
-        )
+        if smooth_dyn_mask is not None:
+            # doj-weighted smoothness (reference layers.py:244-258); entries
+            # with a zero mask reduce exactly to the plain smoothness
+            smooth = L.smooth_loss_dyn_planar(
+                norm_disp[..., 0], tgt_pl, smooth_dyn_mask
+            )
+        else:
+            smooth = L.smooth_loss_planar(norm_disp[..., 0], tgt_pl)
+        loss = loss + cfg.disparity_smoothness * smooth
         return loss
 
     # ------------------------------------------------------------ the loss
@@ -331,6 +377,15 @@ class MonoViFiStep:
         Tp1_stack = jnp.concatenate(
             [T_0_p1, T_pt_p1, T_nt_p1, T_0_p1, T_nt_p1, T_pt_p1], 0
         )
+        # optional doj-weighted smoothness (cfg.use_smooth_dyn + CS doj
+        # masks): only frame-0 targets (stack slots 0 and 3) have masks;
+        # zero entries reduce to the plain smoothness exactly
+        sdm6 = None
+        use_dyn = cfg.use_smooth_dyn and "doj_mask_0" in batch
+        if use_dyn:
+            d0 = batch["doj_mask_0"][..., 0]
+            z = jnp.zeros_like(d0)
+            sdm6 = jnp.concatenate([d0, z, z, d0, z, z], 0)
         loss_base = 6.0 * self._photometric(
             disp_stack,
             tgt_stack,
@@ -341,6 +396,10 @@ class MonoViFiStep:
             _tile(K, 6),
             _tile(invK, 6),
             rng_n1,
+            smooth_dyn_mask=sdm6,
+            # targets repeat as (0, pt, nt, 0, nt, pt): identity losses for
+            # entries 3..5 equal those of entries 0, 2, 1
+            ident_reuse=(0, 1, 2, 0, 2, 1),
         )
 
         # ---- SVDC: single <-> fused SI-log consistency (train.py:797-812)
@@ -370,6 +429,11 @@ class MonoViFiStep:
                 [disp_0_aff, disp_pt_aff, disp_nt_aff], 0
             )
             tgt_aff_stack = jnp.concatenate([img_0_aff, img_pt_aff, img_nt_aff], 0)
+            sdm3 = None
+            if use_dyn and "doj_mask_0_affine" in batch:
+                da = batch["doj_mask_0_affine"][..., 0]
+                za = jnp.zeros_like(da)
+                sdm3 = jnp.concatenate([da, za, za], 0)
             loss_base = loss_base + 3.0 * self._photometric(
                 disp_aff_stack,
                 tgt_aff_stack,
@@ -381,6 +445,7 @@ class MonoViFiStep:
                 _tile(invK, 3),
                 rng_n2,
                 mask_rec=_tile(mask_rec, 3),
+                smooth_dyn_mask=sdm3,
             )
 
             # SADC: restore the affine depths and compare (train.py:904-922).

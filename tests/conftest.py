@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the slow tier's big programs (the fused train
+# step, 8-way SPMD) dominate suite runtime on this 1-core CPU — cache them
+# across runs so repeat suites are minutes, not tens of minutes
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

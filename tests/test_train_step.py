@@ -117,6 +117,52 @@ def test_eval_forwards(setup):
 
 
 @pytest.mark.slow
+def test_train_step_num_scales_4():
+    """A num_scales=4 config trains: the decoder emits 4 disp scales and the
+    step tolerates the pyramid batch keys (reference contract,
+    mono_dataset.py:87-91; loss still reads scale 0 only, train.py:994)."""
+    cfg = Options(
+        height=64,
+        width=64,
+        batch_size=2,
+        num_scales=4,
+        use_affine=False,
+        compute_dtype="float32",
+        fuse_model_type="shared_encoder",
+        vfi_train_scale="tiny",
+        vfi_test_scale="tiny",
+    )
+    bundle, tx, state = monovifi.create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
+    batch = make_batch(2, cfg.height, cfg.width, use_affine=False)
+    for s in range(1, 4):  # the pyramid keys the dataset emits at scales>=1
+        h, w = cfg.height // 2**s, cfg.width // 2**s
+        for name in ("n1", "0", "p1"):
+            batch[f"color_{name}_s{s}"] = jnp.asarray(rand(2, h, w, 3))
+            batch[f"color_aug_{name}_s{s}"] = jnp.asarray(rand(2, h, w, 3))
+        batch[f"K_s{s}"] = batch["K"]
+        batch[f"inv_K_s{s}"] = batch["inv_K"]
+    step = jax.jit(MonoViFiStep(bundle, tx).make_train_step())
+    state1, metrics = step(state, vfi_params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # the decoder itself produces all 4 scales
+    feats = bundle.encoder.apply(
+        {
+            "params": state.params["encoder"],
+            "batch_stats": state.batch_stats["encoder"],
+        },
+        batch["color_0"],
+        train=False,
+    )
+    disps = bundle.depth.apply({"params": state.params["depth"]}, feats)
+    assert sorted(disps) == [0, 1, 2, 3]
+    for s in range(4):
+        assert disps[s].shape == (2, cfg.height // 2**s, cfg.width // 2**s, 1)
+
+
+@pytest.mark.slow
 def test_train_step_sharded_8_devices():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -1,0 +1,108 @@
+"""Synthetic-scene convergence smoke (VERDICT r2 weak #4 / next #3).
+
+Trains the FULL fused Mono-ViFI step on an analytic multi-view-consistent
+scene (tests/synthetic_scene.py) and reports whether (a) the photometric
+loss drops and (b) median-scaled depth error vs the known ground truth
+improves. Validates that training *works* — including the TPU fast-path
+numerics (bf16 gather taps, windowed Pallas warps) — without KITTI.
+
+    python tools/convergence_smoke.py [--steps 300] [--size 192x640]
+        [--batch 4] [--no-fast-warp] [--cpu]
+
+Prints one JSON line with initial/final loss and abs_rel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(steps=120, H=96, W=320, B=2, fast_warp=True, compute_dtype="bfloat16",
+        lr=2e-4, seed=0, log_every=0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mono_vifi_tpu.config import Options
+    from mono_vifi_tpu.ops.geometry import disp_to_depth
+    from mono_vifi_tpu.training import monovifi
+    from mono_vifi_tpu.training.monovifi import MonoViFiStep
+    from tests.synthetic_scene import make_scene_batch, median_scaled_abs_rel
+
+    cfg = Options(
+        height=H, width=W, batch_size=B, use_affine=False,
+        compute_dtype=compute_dtype, fast_warp=fast_warp,
+        vfi_train_scale="tiny", vfi_test_scale="tiny",
+        learning_rate=lr, lr_sche_type="step", decay_step=(10**6,),
+        weights_init="scratch",
+    )
+    bundle, tx, state = monovifi.create_train_state(
+        cfg, jax.random.PRNGKey(seed), steps_per_epoch=max(steps, 1)
+    )
+    vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
+    np_batch, gt_depth = make_scene_batch(B, H, W)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+
+    step_fn = jax.jit(MonoViFiStep(bundle, tx).make_train_step(), donate_argnums=0)
+    sf_disp = jax.jit(
+        lambda p, bs: monovifi.single_frame_disp(bundle, p, bs, batch["color_0"])
+    )
+
+    def depth_err(state):
+        disp = sf_disp(state.params, state.batch_stats)
+        _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+        return median_scaled_abs_rel(np.asarray(depth)[..., 0], gt_depth)
+
+    rng = jax.random.PRNGKey(seed + 7)
+    losses = []
+    err0 = depth_err(state)
+    for i in range(steps):
+        state, metrics = step_fn(
+            state, vfi_params, batch, jax.random.fold_in(rng, i)
+        )
+        losses.append(float(metrics["loss_base"]))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i+1}: loss_base {losses[-1]:.4f}", file=sys.stderr)
+    err1 = depth_err(state)
+    k = max(len(losses) // 10, 1)
+    return {
+        "steps": steps,
+        "fast_warp": fast_warp,
+        "compute_dtype": compute_dtype,
+        "loss_first10": round(float(sum(losses[:k]) / k), 5),
+        "loss_last10": round(float(sum(losses[-k:]) / k), 5),
+        "abs_rel_initial": round(err0, 4),
+        "abs_rel_final": round(err1, 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--size", default="96x320")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--no-fast-warp", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--log-every", type=int, default=25)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    H, W = (int(v) for v in args.size.split("x"))
+    out = run(
+        steps=args.steps, H=H, W=W, B=args.batch,
+        fast_warp=not args.no_fast_warp, compute_dtype=args.dtype,
+        log_every=args.log_every,
+    )
+    print(json.dumps({"metric": "convergence_smoke", **out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--no-affine", action="store_true")
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--top", type=int, default=0,
+                    help="also print the top-N individual fusions/ops")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +90,38 @@ def main():
     for ms, name in rows:
         print(f"{ms:9.1f}  {100*ms/total:5.1f}%  {name}")
     print(f"{total:9.1f}  100.0%  TOTAL (device busy)")
+
+    if args.top:
+        # fusion-level breakdown: times live at the fusion nodes one level
+        # below the categories; leaves carry xla.provenance for attribution
+        ops = []
+
+        def walk(node, cat):
+            t_ps = float(node.get("metrics", {}).get("rawTime", 0.0))
+            kids = node.get("children", [])
+            if t_ps > 0 and not any(
+                float(k.get("metrics", {}).get("rawTime", 0.0)) > 0 for k in kids
+            ):
+                prov = ""
+                stack = [node]
+                while stack:
+                    n = stack.pop()
+                    x = n.get("xla", {})
+                    if x.get("provenance"):
+                        prov = x["provenance"]
+                        break
+                    stack.extend(n.get("children", []))
+                ops.append((t_ps / 1e9 / args.steps, cat, node["name"], prov))
+            for k in kids:
+                walk(k, cat)
+
+        for c in cats:
+            for fusion in c.get("children", []):
+                walk(fusion, c["name"])
+        ops.sort(reverse=True)
+        print(f"\n{'ms/step':>9}  top individual ops")
+        for ms, cat, name, prov in ops[: args.top]:
+            print(f"{ms:9.2f}  [{cat}] {name}  {prov[:110]}")
     print(f"\ntrace dir: {trace_dir}")
 
 

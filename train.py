@@ -115,10 +115,13 @@ class Trainer:
         data_path = cfg.data_path_pre if (
             cfg.dataset == "cityscapes" and cfg.data_path_pre
         ) else cfg.data_path
+        extra = {}
+        if cfg.dataset == "cityscapes" and cfg.doj_mask:
+            extra = {"doj_mask": True, "mask_dir": cfg.mask_dir or None}
         self.train_dataset = dataset_cls(
             data_path, train_files, cfg.height, cfg.width, cfg.frame_ids,
             cfg.num_scales, use_affine=cfg.use_affine, is_train=True,
-            img_ext=img_ext, seed=cfg.seed,
+            img_ext=img_ext, seed=cfg.seed, **extra,
         )
         self.test_dataset = dataset_cls(
             cfg.data_path, test_files, cfg.height, cfg.width, [0, -1, 1],
@@ -172,6 +175,10 @@ class Trainer:
         self.train_step = jax.jit(
             MonoViFiStep(self.bundle, self.tx).make_train_step(), donate_argnums=0
         )
+        # live LR for per-step logs (reference train.py:1053-1060)
+        from mono_vifi_tpu.training.optim import lr_schedule
+
+        self.lr_sched = lr_schedule(cfg, self.steps_per_epoch)
         self._sf_disp = jax.jit(
             lambda p, bs, img: single_frame_disp(self.bundle, p, bs, img)
         )
@@ -368,15 +375,17 @@ class Trainer:
                 t_now = time.perf_counter()
                 step_no = int(self.state.step)
                 eta = (self.num_total_steps - step_no) * (t_now - t_data)
+                lr = float(self.lr_sched(step_no))
                 logging.info(
                     "epoch %2d/%d | batch %4d/%d | data %.3fs | step %.3fs | "
-                    "loss %.4f | eta %s",
+                    "loss %.4f | lr %.2e | eta %s",
                     epoch, cfg.num_epochs - 1, global_idx, self.steps_per_epoch,
-                    t_fp - t_data, t_now - t_data, loss, sec_to_hm_str(eta),
+                    t_fp - t_data, t_now - t_data, loss, lr, sec_to_hm_str(eta),
                 )
                 if self.writer is not None:
                     for k, v in metrics.items():
                         self.writer.add_scalar(k, float(v), step_no)
+                    self.writer.add_scalar("learning_rate", lr, step_no)
             if global_idx > 0 and global_idx % cfg.save_frequency == 0:
                 self.save_model(epoch, batch_idx=global_idx + 1)
             t_data = time.perf_counter()
