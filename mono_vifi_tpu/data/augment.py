@@ -27,8 +27,38 @@ def _adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
     return Image.merge("HSV", (h, s, v)).convert("RGB")
 
 
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)  # PIL "L" weights
+
+
+def _fast_hue_rgb(arr_u8: np.ndarray, hue_factor: float) -> np.ndarray:
+    """uint8 RGB hue shift via cv2's SIMD HSV roundtrip (~10x PIL).
+
+    Matches the PIL/torchvision path's 0-255 H convention (HSV_FULL); the
+    two HSV quantizations differ by a few /255 on a minority of pixels —
+    an augmentation-level deviation only (see ColorJitter docstring)."""
+    hsv = cv2.cvtColor(arr_u8, cv2.COLOR_RGB2HSV_FULL)
+    h = hsv[..., 0].astype(np.int16)
+    hsv[..., 0] = ((h + int(round(hue_factor * 255.0))) % 256).astype(np.uint8)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB_FULL)
+
+
 class ColorJitter:
-    """One sampled jitter, applicable to many frames (shared augmentation)."""
+    """One sampled jitter, applicable to many frames (shared augmentation).
+
+    `fast` (default): brightness/contrast/saturation evaluated as vectorized
+    float ops with ONE final uint8 rounding, hue via cv2's HSV roundtrip —
+    ~4x faster per image, which matters because the host pipeline applies
+    this to up to 4 frames per sample (tools/bench_loader.py). Deviation vs
+    the exact PIL path (torchvision semantics): <=2/255 from deferred
+    rounding plus small hue-quantization differences — noise relative to the
+    jitter itself; the factors and their order are drawn identically, so
+    augmentation STATISTICS are unchanged. `fast=False` restores the exact
+    torchvision/PIL pipeline (reference datasets/mono_dataset.py:75-85)."""
 
     def __init__(
         self,
@@ -37,6 +67,7 @@ class ColorJitter:
         saturation=(0.8, 1.2),
         hue=(-0.1, 0.1),
         rng: random.Random | None = None,
+        fast: bool = True,
     ):
         r = rng or random
         self.brightness = r.uniform(*brightness)
@@ -52,8 +83,34 @@ class ColorJitter:
         self.order = list(range(4))
         r.shuffle(self.order)
         self.ops = ops
+        self.fast = fast and cv2 is not None
+
+    def _call_fast(self, img: Image.Image) -> Image.Image:
+        arr = np.asarray(img, np.float32)
+        for i in self.order:
+            if i == 0:  # brightness: blend toward black
+                arr = arr * self.brightness
+            elif i == 1:  # contrast: blend toward the mean gray
+                gray = arr @ _LUMA
+                m = float(np.mean(gray))
+                arr = arr * self.contrast + (1.0 - self.contrast) * m
+            elif i == 2:  # saturation: blend toward per-pixel gray
+                gray = (arr @ _LUMA)[..., None]
+                arr = arr * self.saturation + (1.0 - self.saturation) * gray
+            else:  # hue: integer HSV roundtrip on the current uint8 image
+                if abs(self.hue) < 1e-9:  # identity (PIL path skips too)
+                    continue
+                u8 = np.clip(arr + 0.5, 0, 255).astype(np.uint8)
+                arr = _fast_hue_rgb(u8, self.hue).astype(np.float32)
+                continue
+            # PIL blend() saturates to uint8 range after EVERY op — clip in
+            # float so extrapolating factors (>1) match its behavior
+            arr = np.clip(arr, 0.0, 255.0)
+        return Image.fromarray(np.clip(arr + 0.5, 0, 255).astype(np.uint8))
 
     def __call__(self, img: Image.Image) -> Image.Image:
+        if self.fast:
+            return self._call_fast(img)
         for i in self.order:
             img = self.ops[i](img)
         return img

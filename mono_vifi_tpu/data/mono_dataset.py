@@ -144,14 +144,53 @@ class MonoDataset:
             "box": np.array([x0, y0, w, h], np.float32),
         }
 
+    def _affine_window(self, img: Image.Image, p) -> Image.Image:
+        """The affine chain resize_local -> rotate -> crop evaluated on a
+        padded window only (the host-pipeline hot path: the full chain
+        processes the whole enlarged canvas, up to 4x the crop area).
+
+        Exact by construction: PIL resize(box=...) samples identically to
+        resize-then-crop (same centers (x+0.5)*scale), rotate(center=...)
+        about the translated canvas center reproduces the full-canvas
+        rotation shifted by the integer window origin (bilinear weights
+        unchanged), and the padding covers the maximum rotation displacement
+        of any crop pixel so every needed source lies inside the window.
+        Zero-fill outside the window coincides with the full chain's
+        zero-fill outside the canvas because the window is clamped to the
+        canvas. (Windowed vs full differ only in float-reassociation ulps.)
+        """
+        width_re, height_re = p["size_re"]
+        w0, h0, w1, h1 = p["crop"]
+        angle = p["angle"]
+        cx, cy = width_re / 2.0, height_re / 2.0
+        r = max(
+            math.hypot(x - cx, y - cy) for x in (w0, w1) for y in (h0, h1)
+        )
+        pad = (
+            int(math.ceil(2.0 * math.sin(math.radians(abs(angle)) / 2.0) * r))
+            + 3
+        )
+        ox, oy = max(w0 - pad, 0), max(h0 - pad, 0)
+        ox2, oy2 = min(w1 + pad, width_re), min(h1 + pad, height_re)
+        Wn, Hn = img.size
+        sx, sy = Wn / width_re, Hn / height_re
+        win = img.resize(
+            (ox2 - ox, oy2 - oy),
+            self.interp,
+            box=(ox * sx, oy * sy, ox2 * sx, oy2 * sy),
+        )
+        win = win.rotate(
+            angle, resample=Image.BILINEAR, expand=False,
+            center=(cx - ox, cy - oy),
+        )
+        return win.crop((w0 - ox, h0 - oy, w1 - ox, h1 - oy))
+
     def _affine_masks(self, p) -> tuple[np.ndarray, np.ndarray]:
         """valid_mask_rec / valid_mask_cons via PIL warps
         (reference datasets/mono_dataset.py:139-149)."""
         W, H = self.width, self.height
-        width_re, height_re = p["size_re"]
-        white = Image.new("L", (width_re, height_re), 255)
-        rotated = white.rotate(p["angle"], resample=Image.BILINEAR, expand=False)
-        mask_rec = to_array(rotated.crop(p["crop"]))
+        white = Image.new("L", p["size_re"], 255)
+        mask_rec = to_array(self._affine_window(white, p))
         mask_rec = (mask_rec > 0).astype(np.float32)
 
         x0, y0, w, h = (int(v) for v in p["box"])
@@ -215,7 +254,6 @@ class MonoDataset:
         affine = None
         if self.use_affine and self.is_train:
             affine = self._affine_params(rng, K, inv_K)
-            resize_local = lambda im: im.resize(affine["size_re"], self.interp)
 
         full_pyramid = self.num_scales > 1
         for name, img in raw.items():
@@ -224,9 +262,7 @@ class MonoDataset:
             out[f"color_aug_{name}"] = to_array(jitter(resized))
             im = None
             if affine is not None:
-                im = resize_local(img)
-                im = im.rotate(affine["angle"], resample=Image.BILINEAR, expand=False)
-                im = im.crop(affine["crop"])
+                im = self._affine_window(img, affine)
                 out[f"color_affine_{name}"] = to_array(im)
                 if name == "0" or full_pyramid:
                     out[f"color_affine_aug_{name}"] = to_array(jitter(im))
@@ -267,12 +303,9 @@ class MonoDataset:
                 res = m.resize((self.width, self.height), self.interp)
                 out[f"doj_mask_{name}"] = to_array(res)
                 if affine is not None:
-                    ma = resize_local(m)
-                    ma = ma.rotate(
-                        affine["angle"], resample=Image.BILINEAR, expand=False
+                    out[f"doj_mask_{name}_affine"] = to_array(
+                        self._affine_window(m, affine)
                     )
-                    ma = ma.crop(affine["crop"])
-                    out[f"doj_mask_{name}_affine"] = to_array(ma)
 
         if "s" in self.frame_idxs:
             stereo_T = np.eye(4, dtype=np.float32)

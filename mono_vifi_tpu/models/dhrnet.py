@@ -45,6 +45,10 @@ class DepthDecoder(nn.Module):
     scales: Sequence[int] = (0,)
     num_output_channels: int = 1
     dtype: jnp.dtype | None = None
+    s2d_full_res: bool = True  # evaluate rounds 4-5 (the full-res tail) in
+    # space-to-depth form — exact rearrangement of the same parameters; see
+    # models/monodepth2.py S2D notes (16-ch/1-ch full-res planes pay 8-128x
+    # lane-tile padding otherwise)
 
     @nn.compact
     def __call__(self, input_features):
@@ -86,6 +90,27 @@ class DepthDecoder(nn.Module):
 
         # rounds 4-5: up to full res
         d4 = ConvBlock(32, self.dtype, name="parallel_4_0")(d0_in)
+        if self.s2d_full_res:
+            from mono_vifi_tpu.models.monodepth2 import (
+                _depth_to_space,
+                _NestedConvParams,
+                _s2d_conv3x3,
+            )
+
+            # nearest x2 == channel tile across the 4 phases; the two
+            # full-res convs run in block space with the SAME parameters
+            xs = jnp.tile(d4, (1, 1, 1, 4))
+            kw, kb = _NestedConvParams((3, 3, 32, 16), 16, 2,
+                                       name="parallel_5_0")()
+            xs = nn.elu(_s2d_conv3x3(xs, kw, kb, 32, self.dtype))
+            dw, db = _NestedConvParams(
+                (3, 3, 16, self.num_output_channels),
+                self.num_output_channels, 1, name="dispconv_0",
+            )()
+            ds = nn.sigmoid(_s2d_conv3x3(xs, dw, db, 16, self.dtype))
+            return {0: _depth_to_space(
+                ds.astype(jnp.float32), self.num_output_channels
+            )}
         d4 = upsample_nearest(d4, 2)
         d5 = ConvBlock(16, self.dtype, name="parallel_5_0")(d4)
         disp = nn.sigmoid(

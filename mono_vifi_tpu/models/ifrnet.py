@@ -179,8 +179,14 @@ class IFRNet(nn.Module):
             from mono_vifi_tpu.ops.pallas.warp import warp_windowed_safe, windowed_ok
 
             if windowed_ok(img0.shape, (B, H, W, 2)):
-                img0_warp = warp_windowed_safe(img0, flow0_full, tap_dtype=self.dtype)
-                img1_warp = warp_windowed_safe(img1, flow1_full, tap_dtype=self.dtype)
+                # both frame warps in ONE kernel launch (one span guard, one
+                # grid) — same taps, half the per-call overhead
+                w2 = warp_windowed_safe(
+                    jnp.concatenate([img0, img1], 0),
+                    jnp.concatenate([flow0_full, flow1_full], 0),
+                    tap_dtype=self.dtype,
+                )
+                img0_warp, img1_warp = w2[:B], w2[B:]
             else:
                 img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
                 img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)

@@ -477,19 +477,33 @@ def grid_sample_adjoint_image(
     window=(24, 0), interpret=False,
 ):
     """d(grid_sample)/d(img)^T applied to ct, via the MXU splat kernel with
-    a runtime in-window guard falling back to the exact XLA scatter."""
+    a runtime in-window guard cascade (smallest window first — the kernel's
+    MXU/VPU work scales with the window height, and typical warps fit the
+    small one) falling back to the exact XLA scatter. All branches compute
+    the same values; the guard only picks speed."""
     if padding_mode == "border":
         ly, lx, a0, a1, c0, c1 = _border_factors(img_hw, grid, align_corners)
     else:
         ly, lx, a0, a1, c0, c1 = _zeros_factors(img_hw, grid, align_corners)
     H, W = img_hw
-    ok = _prepare(ly, lx, (H, W), window)[2]
+    if isinstance(window[0], int):
+        windows = (window,)
+    else:
+        windows = tuple(window)
+    # drop cascade entries that the tallest window makes redundant (mode A
+    # covers everything) and dedupe resolved heights
+    seen = set()
+    uniq = []
+    for w in windows:
+        WH, _ = _window_for((H, W), w)
+        if WH in seen:
+            continue
+        seen.add(WH)
+        uniq.append(w)
+        if _mode_a((H, W), w):
+            break
 
-    def fast(ct_, g_):
-        return bilinear_splat(
-            ct, ly, lx, a0, a1, c0, c1, (H, W), window,
-            interpret=interpret,
-        )
+    B, Ho, Wo, C = ct.shape
 
     def exact(ct_, g_):
         # transpose of the PACKED blocked-gather sampler: XLA scatters one
@@ -498,7 +512,7 @@ def grid_sample_adjoint_image(
         # is value-independent)
         from mono_vifi_tpu.ops.sampling import grid_sample
 
-        dummy = jnp.zeros(ct_.shape[:1] + (H, W) + ct_.shape[3:], jnp.float32)
+        dummy = jnp.zeros((B, H, W, C), jnp.float32)
         _, vjp = jax.vjp(
             lambda im: grid_sample(
                 im, g_, padding_mode=padding_mode, align_corners=align_corners
@@ -507,7 +521,34 @@ def grid_sample_adjoint_image(
         )
         return vjp(ct_.astype(jnp.float32))[0]
 
-    return jax.lax.cond(ok, fast, exact, ct, grid)
+    branches = [
+        (lambda ct_, g_, w=w: bilinear_splat(
+            ct_, ly, lx, a0, a1, c0, c1, (H, W), w, interpret=interpret,
+        ))
+        for w in uniq
+    ] + [exact]
+    if len(uniq) == 1 and _mode_a((H, W), uniq[0]):
+        return branches[0](ct, grid)  # unconditionally exact
+    # one switch, windows ordered small->large: fits(w[i]) implies
+    # fits(w[j>i]), so the miss count is the first fitting branch index.
+    # The per-image residual row offsets are reduced ONCE; each window's
+    # predicate is then a scalar range check (same math as _prepare).
+    lyc = jnp.clip(ly, 0, max(H - 2, 0)).astype(jnp.int32)
+    qy = jax.lax.broadcasted_iota(jnp.int32, ly.shape[1:], 0)[None]
+    dy = jnp.round(
+        jnp.mean((lyc - qy).astype(jnp.float32), axis=(1, 2))
+    ).astype(jnp.int32)
+    resid = lyc - (8 * (qy // 8) + dy[:, None, None])
+    rmin, rmax = jnp.min(resid), jnp.max(resid)
+    idx = jnp.zeros((), jnp.int32)
+    for w in uniq:
+        if _mode_a((H, W), w):
+            continue  # always fits
+        WH = _window_for((H, W), w)[0]
+        pad_y = (WH - 10) // 2
+        ok = (rmin >= -pad_y) & (rmax <= WH - 2 - pad_y)
+        idx = idx + jnp.where(ok, 0, 1).astype(jnp.int32)
+    return jax.lax.switch(idx, branches, ct, grid)
 
 
 def _xla_splat(ct, ly, lx, a0, a1, c0, c1, out_hw):

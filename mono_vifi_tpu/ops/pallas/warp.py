@@ -236,22 +236,43 @@ def grid_sample_windowed_zeros(
     return out.transpose(0, 2, 3, 1).astype(img.dtype)
 
 
-def grid_sample_windowed_zeros_safe(img, grid, window=(56, 384), **kwargs):
-    """Windowed zeros-mode sampling with the runtime span guard (falls back
-    to the exact XLA zeros path when any tile exceeds the window)."""
+def grid_sample_windowed_zeros_safe(
+    img, grid, window=((32, 384), (56, 384)), **kwargs
+):
+    """Windowed zeros-mode sampling with the runtime span-guard cascade
+    (smallest window first; exact XLA zeros path as the final fallback)."""
     from mono_vifi_tpu.ops import sampling
 
+    if isinstance(window[0], int):
+        windows = (window,)
+    else:
+        windows = tuple(window)
+    windows = [w for w in windows if img.shape[1] >= w[0] and img.shape[2] >= w[1]]
+
     y0, x0 = _source_coords(img.shape, grid)
-    ok = spans_ok(y0, x0, window)
-    return jax.lax.cond(
-        ok,
-        lambda im, g: grid_sample_windowed_zeros(im, g, window=window, **kwargs),
-        lambda im, g: sampling.grid_sample(
-            im, g, padding_mode="zeros"
-        ).astype(im.dtype),
-        img,
-        grid,
+
+    def exact(im, g):
+        return sampling.grid_sample(im, g, padding_mode="zeros").astype(
+            img.dtype
+        )
+
+    branches = [
+        (lambda im, g, w=w: grid_sample_windowed_zeros(
+            im, g, window=w, **kwargs
+        ))
+        for w in windows
+    ] + [exact]
+    if len(branches) == 1:
+        return exact(img, grid)
+    # one switch, windows ordered small->large (see grid_sample_windowed_safe)
+    span_y, span_x = tile_span_max(y0, x0)
+    idx = sum(
+        jnp.where((span_y <= w[0] - 9) & (span_x <= w[1] - 129), 0, 1).astype(
+            jnp.int32
+        )
+        for w in windows
     )
+    return jax.lax.switch(idx, branches, img, grid)
 
 
 def warp_windowed(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
@@ -280,52 +301,87 @@ def _source_coords(img_shape, grid, align_corners=True):
     return jax.lax.stop_gradient(y0), jax.lax.stop_gradient(x0)
 
 
+def tile_span_max(y0: jax.Array, x0: jax.Array):
+    """Max per-(8,128)-output-tile source-coordinate spans -> two scalars.
+
+    Computed ONCE per call; window predicates are then scalar compares, so a
+    guard cascade costs one reduction total."""
+    B, Ho, Wo = y0.shape
+    ty, tx = Ho // TILE_H, Wo // TILE_W
+    yr = y0.reshape(B, ty, TILE_H, tx, TILE_W)
+    xr = x0.reshape(B, ty, TILE_H, tx, TILE_W)
+    span_y = jnp.max(jnp.max(yr, (2, 4)) - jnp.min(yr, (2, 4)))
+    span_x = jnp.max(jnp.max(xr, (2, 4)) - jnp.min(xr, (2, 4)))
+    return span_y, span_x
+
+
 def spans_ok(y0: jax.Array, x0: jax.Array, window=(56, 384)) -> jax.Array:
     """Scalar bool: does every output tile's source-coordinate span fit the
     exactness window? (max-min per 8x128 tile, plus the <=7/<=127 alignment
     slack of the 8/128-aligned window origin.)"""
     WH, WW = window
-    B, Ho, Wo = y0.shape
-    ty, tx = Ho // TILE_H, Wo // TILE_W
-    yr = y0.reshape(B, ty, TILE_H, tx, TILE_W)
-    xr = x0.reshape(B, ty, TILE_H, tx, TILE_W)
-    span_y = jnp.max(yr, (2, 4)) - jnp.min(yr, (2, 4))
-    span_x = jnp.max(xr, (2, 4)) - jnp.min(xr, (2, 4))
-    return jnp.logical_and(
-        jnp.all(span_y <= WH - 9), jnp.all(span_x <= WW - 129)
-    )
+    span_y, span_x = tile_span_max(y0, x0)
+    return jnp.logical_and(span_y <= WH - 9, span_x <= WW - 129)
 
 
 def grid_sample_windowed_safe(
     img: jax.Array,
     grid: jax.Array,
-    window: tuple[int, int] = (56, 384),
+    window: tuple[int, int] | tuple[tuple[int, int], ...] = ((32, 384), (56, 384)),
     align_corners: bool = True,
     tap_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Windowed kernel with a runtime max-source-offset guard: when any
-    output tile's coordinate span exceeds the exactness window (possible
-    early in training, when random-init depth yields wild reprojection
-    offsets), fall back to the exact XLA gather path for the whole call.
-    Both paths match torch grid_sample border/align_corners=True semantics;
-    the fallback makes the windowed path exact *unconditionally*."""
+    """Windowed kernel with a runtime max-source-offset guard cascade.
+
+    `window` may be a single (WH, WW) or a tuple of windows tried smallest
+    first: the kernel's per-tile cost scales with WH (a static WH-row scan
+    per output tile), and real warps almost always fit the small window —
+    the taller one only catches rare wide-span tiles, and anything beyond
+    falls back to the exact XLA gather (possible early in training, when
+    random-init depth yields wild reprojection offsets). All paths match
+    torch grid_sample border/align_corners=True semantics, so the guard
+    choice never changes values — only speed."""
     from mono_vifi_tpu.ops import sampling
 
+    if isinstance(window[0], int):
+        windows = (window,)
+    else:
+        windows = tuple(window)
+    windows = [w for w in windows if img.shape[1] >= w[0] and img.shape[2] >= w[1]]
+
     y0, x0 = _source_coords(img.shape, grid, align_corners)
-    ok = spans_ok(y0, x0, window)
-    return jax.lax.cond(
-        ok,
-        lambda im, g: grid_sample_windowed(
-            im, g, window=window, align_corners=align_corners,
-            tap_dtype=tap_dtype, interpret=interpret,
-        ),
-        lambda im, g: sampling.grid_sample(
+    B, H, W, C = img.shape
+    _, Ho, Wo, _ = grid.shape
+
+    def exact(im, g):
+        return sampling.grid_sample(
             im, g, align_corners=align_corners, gather_dtype=tap_dtype
-        ).astype(im.dtype),
-        img,
-        grid,
+        ).astype(img.dtype)
+
+    branches = [
+        (lambda im, g, w=w: grid_sample_windowed(
+            im, g, window=w, align_corners=align_corners,
+            tap_dtype=tap_dtype, interpret=interpret,
+        ))
+        for w in windows
+    ] + [exact]
+    if len(branches) == 1:
+        return exact(img, grid)
+    # ONE switch (single operand/result boundary) rather than nested conds:
+    # every extra cond level re-copies the big image operands in canonical
+    # tiled layouts (42x lane padding for C=3 minor -> HBM OOM)
+    # windows must be ordered small->large so fits(w[i]) implies fits(w[j>i])
+    # and the count of misses IS the first fitting branch index; one span
+    # reduction serves every predicate
+    span_y, span_x = tile_span_max(y0, x0)
+    idx = sum(
+        jnp.where((span_y <= w[0] - 9) & (span_x <= w[1] - 129), 0, 1).astype(
+            jnp.int32
+        )
+        for w in windows
     )
+    return jax.lax.switch(idx, branches, img, grid)
 
 
 def warp_windowed_safe(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:

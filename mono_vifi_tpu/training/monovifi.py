@@ -131,26 +131,38 @@ class MonoViFiStep:
         # channel-planar loss layout: stacking candidate loss maps along the
         # LEADING axis keeps the tiled (H, W) pair intact (a trailing
         # candidate axis would re-create the tiny-minor-dim tile padding).
-        # Target-side SSIM moments are computed once and shared by all 4
-        # comparisons against each target (bit-identical, 30% fewer pools).
+        # On TPU the SSIM+L1 map is ONE fused Pallas pass per image
+        # (ops/pallas/photometric.py) — the XLA chain is a ~20-op tail of
+        # small fusions; off-TPU, target-side SSIM moments are shared by
+        # all 4 comparisons per target (bit-identical, 30% fewer pools).
         use_ssim = not cfg.no_ssim
+        fused = bool(getattr(self.b, "fast_warp", False))
         tgt_pl = L.to_planar(tgt)
-        moments = L.target_moments_planar(tgt_pl) if use_ssim else None
+        if fused:
+            from mono_vifi_tpu.ops.pallas import photometric as PM
+
+            moments = None
+            rpl = lambda p: PM.ssim_l1_map(p, tgt_pl, use_ssim)
+            rpl_ng = lambda p, t: PM.ssim_l1_map_nograd(p, t, use_ssim)
+        else:
+            moments = L.target_moments_planar(tgt_pl) if use_ssim else None
+            rpl = lambda p: L.reprojection_loss_planar(
+                p, tgt_pl, use_ssim, moments
+            )
         reproj = jnp.stack(
-            [
-                L.reprojection_loss_planar(
-                    L.to_planar(pred_n1), tgt_pl, use_ssim, moments
-                ),
-                L.reprojection_loss_planar(
-                    L.to_planar(pred_p1), tgt_pl, use_ssim, moments
-                ),
-            ],
+            [rpl(L.to_planar(pred_n1)), rpl(L.to_planar(pred_p1))],
             axis=0,
         )
         if cfg.avg_reprojection:
             reproj = jnp.mean(reproj, axis=0, keepdims=True)
 
         if not cfg.disable_automasking:
+            if fused:
+                ipl = lambda s, t: rpl_ng(L.to_planar(s), L.to_planar(t))
+            else:
+                ipl = lambda s, t, m=None: L.reprojection_loss_planar(
+                    L.to_planar(s), L.to_planar(t), use_ssim, m
+                )
             if ident_reuse is not None:
                 # the stacked targets repeat (e.g. the 6-target stack's
                 # entries 3..5 reuse targets 0, 2, 1): the gradient-free
@@ -160,37 +172,41 @@ class MonoViFiStep:
                 k = len(ident_reuse)
                 Bs = tgt_pl.shape[0] // k
                 u = max(ident_reuse) + 1
-                mom_u = jax.tree.map(lambda m: m[: u * Bs], moments) \
-                    if moments is not None else None
-                ident_u = jnp.stack(
-                    [
-                        L.reprojection_loss_planar(
-                            L.to_planar(src_n1[: u * Bs]), tgt_pl[: u * Bs],
-                            use_ssim, mom_u,
-                        ),
-                        L.reprojection_loss_planar(
-                            L.to_planar(src_p1[: u * Bs]), tgt_pl[: u * Bs],
-                            use_ssim, mom_u,
-                        ),
-                    ],
-                    axis=0,
-                )
+                if fused:
+                    ident_u = jnp.stack(
+                        [
+                            ipl(src_n1[: u * Bs], tgt[: u * Bs]),
+                            ipl(src_p1[: u * Bs], tgt[: u * Bs]),
+                        ],
+                        axis=0,
+                    )
+                else:
+                    mom_u = jax.tree.map(lambda m: m[: u * Bs], moments) \
+                        if moments is not None else None
+                    ident_u = jnp.stack(
+                        [
+                            ipl(src_n1[: u * Bs], tgt[: u * Bs], mom_u),
+                            ipl(src_p1[: u * Bs], tgt[: u * Bs], mom_u),
+                        ],
+                        axis=0,
+                    )
                 ident = jnp.concatenate(
                     [ident_u[:, i * Bs : (i + 1) * Bs] for i in ident_reuse],
                     axis=1,
                 )
             else:
-                ident = jnp.stack(
-                    [
-                        L.reprojection_loss_planar(
-                            L.to_planar(src_n1), tgt_pl, use_ssim, moments
-                        ),
-                        L.reprojection_loss_planar(
-                            L.to_planar(src_p1), tgt_pl, use_ssim, moments
-                        ),
-                    ],
-                    axis=0,
-                )
+                if fused:
+                    ident = jnp.stack(
+                        [ipl(src_n1, tgt), ipl(src_p1, tgt)], axis=0
+                    )
+                else:
+                    ident = jnp.stack(
+                        [
+                            ipl(src_n1, tgt, moments),
+                            ipl(src_p1, tgt, moments),
+                        ],
+                        axis=0,
+                    )
             if cfg.avg_reprojection:
                 ident = jnp.mean(ident, axis=0, keepdims=True)
             ident = ident + jax.random.normal(rng, ident.shape) * 1e-5

@@ -147,3 +147,37 @@ def test_config_file_roundtrip(tmp_path):
     assert opts.batch_size == 8  # CLI override wins
     assert opts.decay_step == (15,)
     assert opts.learning_rate == 1e-4
+
+
+def test_fast_jitter_matches_exact_within_bounds():
+    """The vectorized jitter (numpy trio + cv2 hue) must stay within small,
+    documented bounds of the exact PIL/torchvision pipeline and be
+    deterministic for a given rng."""
+    import random
+
+    from mono_vifi_tpu.data.augment import ColorJitter
+
+    rng0 = np.random.default_rng(0)
+    img = Image.fromarray((rng0.random((96, 160, 3)) * 255).astype(np.uint8))
+    for seed in range(6):
+        jf = ColorJitter(rng=random.Random(seed), fast=True)
+        je = ColorJitter(rng=random.Random(seed), fast=False)
+        assert jf.order == je.order
+        assert (jf.brightness, jf.contrast, jf.saturation, jf.hue) == (
+            je.brightness, je.contrast, je.saturation, je.hue
+        )
+        a = np.asarray(jf(img), np.int16)
+        b = np.asarray(je(img), np.int16)
+        d = np.abs(a - b)
+        assert float(d.mean()) < 3.0, (seed, d.mean())
+        assert float((d > 16).mean()) < 0.005, (seed, (d > 16).mean())
+        # deterministic
+        np.testing.assert_array_equal(np.asarray(jf(img)), a)
+    # trio-only (hue disabled) is within composition-rounding distance
+    for seed in range(4):
+        jf = ColorJitter(hue=(0, 0), rng=random.Random(seed), fast=True)
+        je = ColorJitter(hue=(0, 0), rng=random.Random(seed), fast=False)
+        d = np.abs(
+            np.asarray(jf(img), np.int16) - np.asarray(je(img), np.int16)
+        )
+        assert d.max() <= 4, (seed, d.max())

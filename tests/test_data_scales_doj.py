@@ -156,3 +156,36 @@ def test_smooth_loss_dyn_planar_zero_mask_reduces_to_plain():
     np.testing.assert_allclose(
         L.smooth_loss_dyn_planar(disp, img, mask), ref, rtol=1e-5
     )
+
+
+def test_affine_window_matches_full_chain(kitti_dir):
+    """The windowed affine evaluation (resize(box=) + rotate(center=) on a
+    padded window) must reproduce the reference chain
+    resize_local -> rotate -> crop (mono_dataset.py:96-162) exactly up to
+    float-reassociation ulps."""
+    fnames = ["2011_09_26/2011_09_26_drive_0001_sync 2 l"]
+    ds = KITTIRAWDataset(
+        kitti_dir, fnames, height=64, width=96, frame_idxs=[0, -1, 1],
+        num_scales=1, use_affine=True, is_train=True,
+    )
+    folder, fidx, side = ds.index_to_folder_and_frame_idx(0)
+    img = ds.get_color(folder, fidx, side, False)
+    K = ds.load_intrinsics(folder, fidx)
+    K = K.copy()
+    K[0, :] *= ds.width
+    K[1, :] *= ds.height
+    invK = np.linalg.pinv(K)
+    for trial in range(12):
+        rng = ds._rng(1000 + trial)
+        p = ds._affine_params(rng, K, invK)
+        full = (
+            img.resize(p["size_re"], ds.interp)
+            .rotate(p["angle"], resample=Image.BILINEAR, expand=False)
+            .crop(p["crop"])
+        )
+        win = ds._affine_window(img, p)
+        a = np.asarray(full, np.int16)
+        b = np.asarray(win, np.int16)
+        diff = np.abs(a - b)
+        assert diff.max() <= 1, (trial, diff.max())
+        assert (diff > 0).mean() < 0.002, (trial, (diff > 0).mean())

@@ -101,13 +101,16 @@ def bench_stages(root):
     K[0, :] *= 640
     K[1, :] *= 192
     p = ds._affine_params(rng, K, np.linalg.pinv(K))
-    out["affine_one_frame_ms"] = timeit(
+    out["affine_full_chain_ms"] = timeit(
         lambda: to_array(
             raw.resize(p["size_re"], ds.interp)
             .rotate(p["angle"], resample=Image.BILINEAR, expand=False)
             .crop(p["crop"])
         ),
         iters=20,
+    )
+    out["affine_windowed_ms"] = timeit(
+        lambda: to_array(ds._affine_window(raw, p)), iters=20
     )
     out["affine_masks_ms"] = timeit(lambda: ds._affine_masks(p), iters=50)
     out["full_getitem_ms"] = timeit(lambda: ds[0], iters=10)
