@@ -54,17 +54,28 @@ def make_batch(B, H, W):
 
 
 def main():
+    import argparse
+
     import jax
 
     from mono_vifi_tpu.config import Options
     from mono_vifi_tpu.training import monovifi
     from mono_vifi_tpu.training.monovifi import MonoViFiStep
 
-    B, H, W = 10, 192, 640
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", default="ResNet18",
+                    help="ResNet18 (default, the tracked metric) | LiteMono | DHRNet")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override batch size (default: reference config's)")
+    args = ap.parse_args()
+    # reference per-backbone KITTI-MR batch sizes (configs/*/*.txt)
+    B = args.batch or {"ResNet18": 10, "LiteMono": 8, "DHRNet": 6}[args.backbone]
+    H, W = 192, 640
     cfg = Options(
         height=H,
         width=W,
         batch_size=B,
+        backbone=args.backbone,
         use_affine=True,
         compute_dtype="bfloat16",
         fuse_model_type="shared_encoder",
@@ -92,10 +103,16 @@ def main():
     assert np.isfinite(loss)
 
     samples_per_sec = B * iters / dt
+    name = "monovifi_train_samples_per_sec_640x192_bs10_1chip"
+    if args.backbone != "ResNet18":
+        name = (
+            f"monovifi_{args.backbone.lower()}_train_samples_per_sec_"
+            f"640x192_bs{B}_1chip"
+        )
     print(
         json.dumps(
             {
-                "metric": "monovifi_train_samples_per_sec_640x192_bs10_1chip",
+                "metric": name,
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),

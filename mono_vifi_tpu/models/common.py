@@ -26,7 +26,9 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        from mono_vifi_tpu.ops.image import reflect_pad_2d
+
+        x = reflect_pad_2d(x, 1)  # fused-backward reflect pad
         return nn.Conv(
             self.features, (3, 3), padding="VALID", dtype=self.dtype, name="conv"
         )(x)

@@ -70,9 +70,9 @@ def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
     window rows in VMEM scratch; columns need no windowing because the
     window spans the whole (padded) plane width."""
     wcol = jax.lax.broadcasted_iota(jnp.int32, (Wp, PCHUNK), 0)
-    rrow = jax.lax.broadcasted_iota(jnp.int32, (WH, PCHUNK), 0)
     zc = jnp.zeros((Wp, PCHUNK), jnp.float32)
-    zr = jnp.zeros((WH, PCHUNK), jnp.float32)
+    rrowT = jax.lax.broadcasted_iota(jnp.int32, (PCHUNK, WH), 1)
+    zrT = jnp.zeros((PCHUNK, WH), jnp.float32)
 
     for tx in range(ntx):
         sl = pl.ds(tx * PCHUNK, PCHUNK)
@@ -89,13 +89,22 @@ def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
         colsel = (
             jnp.where(lx == wcol, c0, zc) + jnp.where((lx + 1) == wcol, c1, zc)
         ).astype(jnp.bfloat16)
-        rowsel = (
-            jnp.where(lyl == rrow, a0, zr) + jnp.where((lyl + 1) == rrow, a1, zr)
-        ).astype(jnp.bfloat16)
+        # row weights TRANSPOSED (PCHUNK, WH): the per-row column slice
+        # below is then layout-natural (no per-row relayout)
+        lylT = lyl.reshape(PCHUNK, 1)
+        a0T = a0.reshape(PCHUNK, 1)
+        a1T = a1.reshape(PCHUNK, 1)
+        rowselT = (
+            jnp.where(lylT == rrowT, a0T, zrT)
+            + jnp.where((lylT + 1) == rrowT, a1T, zrT)
+        ).astype(v.dtype)
 
         for r in range(WH):
-            s_r = colsel * rowsel[r : r + 1]  # bf16 (Wp, PCHUNK)
-            acc = jnp.dot(s_r, v, preferred_element_type=jnp.float32)
+            # (colsel . rowsel[r]) @ v == colsel @ (rowsel[r] . v): scaling
+            # the (P, C) values side costs Wp/C-fold less VPU work than
+            # scaling the (Wp, P) selector, and the MXU LHS stays stationary
+            v_r = v * rowselT[:, r : r + 1]
+            acc = jnp.dot(colsel, v_r, preferred_element_type=jnp.float32)
             if tx == 0:
                 acc_ref[r] = acc
             else:

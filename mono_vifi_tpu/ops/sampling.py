@@ -81,11 +81,20 @@ def grid_sample(
 
         # gather in the source's (or requested reduced) dtype — rows are
         # rate/byte-bound, so never upcast before the gather; upcast after.
+        # The 4-tap footprint block is built from ONE edge-padded tensor via
+        # overlapping slices (a single fused concat) instead of a chain of
+        # shifted-concat intermediates (each of which materialized).
         src = img if gather_dtype is None else img.astype(gather_dtype)
-        sx = jnp.concatenate([src[:, :, 1:], src[:, :, -1:]], axis=2)
-        sy = jnp.concatenate([src[:, 1:], src[:, -1:]], axis=1)
-        sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
-        block = jnp.concatenate([src, sx, sy, sxy], axis=-1)  # [v00 v01 v10 v11]
+        srcp = jnp.pad(src, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        block = jnp.concatenate(
+            [
+                srcp[:, :H, :W],
+                srcp[:, :H, 1:],
+                srcp[:, 1:, :W],
+                srcp[:, 1:, 1:],
+            ],
+            axis=-1,
+        )  # [v00 v01 v10 v11]
 
         flat = block.reshape(B, H * W, 4 * C)
         idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(B, Ho * Wo, 1)
@@ -124,16 +133,28 @@ def grid_sample(
     x0b = jnp.clip(x0, 0, max(W - 2, 0))
     y0b = jnp.clip(y0, 0, max(H - 2, 0))
 
-    if W >= 2:
-        sx = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
-    else:
-        sx = img
-    if H >= 2:
-        sy = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-        sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
-    else:
-        sy, sxy = img, sx
-    block = jnp.concatenate([img, sx, sy, sxy], axis=-1)
+    if H >= 2 and W >= 2:
+        imgp = jnp.pad(img, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        block = jnp.concatenate(
+            [
+                imgp[:, :H, :W],
+                imgp[:, :H, 1:],
+                imgp[:, 1:, :W],
+                imgp[:, 1:, 1:],
+            ],
+            axis=-1,
+        )
+    else:  # degenerate sizes: fall back to shifted-concat construction
+        sx = (
+            jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+            if W >= 2 else img
+        )
+        if H >= 2:
+            sy = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+            sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)
+        else:
+            sy, sxy = img, sx
+        block = jnp.concatenate([img, sx, sy, sxy], axis=-1)
 
     flat = block.reshape(B, H * W, 4 * C).astype(compute_dtype)
     idx = (y0b * W + x0b).reshape(B, Ho * Wo, 1)

@@ -55,3 +55,20 @@ def test_nograd_variant_matches(planes):
     a = P.ssim_l1_map_nograd(x, y, True, True)
     b = P.ssim_l1_map(x, y, True, True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reflect_pad_custom_vjp_matches_jnp_pad():
+    """The fused reflect-pad backward must equal XLA's pad transpose."""
+    from mono_vifi_tpu.ops.image import reflect_pad_2d
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 10, 14, 5), jnp.float32)
+    ref = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(np.asarray(reflect_pad_2d(x, 1)), np.asarray(ref))
+    w = jax.random.normal(jax.random.PRNGKey(4), ref.shape)
+    g_ref = jax.grad(
+        lambda x_: jnp.sum(
+            jnp.pad(x_, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect") * w
+        )
+    )(x)
+    g_new = jax.grad(lambda x_: jnp.sum(reflect_pad_2d(x_, 1) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-6)
