@@ -18,7 +18,7 @@ import flax.linen as nn
 from mono_vifi_tpu.models.common import ConvBlock1x1
 from mono_vifi_tpu.ops.image import resize_bilinear
 from mono_vifi_tpu.ops.sampling import warp
-from mono_vifi_tpu.ops.pallas.splat import warp_frozen_flow
+from mono_vifi_tpu.ops.pallas.splat import warp_frozen_flow, warp_frozen_flow_table
 
 
 def embed_flow(x: jax.Array, num_freqs: int = 10) -> jax.Array:
@@ -96,18 +96,44 @@ class FusionModule(nn.Module):
                 out.append(warp(feat, flow_))
         return out
 
+    def _warp_pyramid_table(self, unique_feats, ids, flow):
+        """Indexed variant of _warp_pyramid: all warp uses draw from one
+        unique-image table per level (no repeated-pyramid batch concat; its
+        backward statically sums each unique's uses)."""
+        out = []
+        fh, fw = flow.shape[1], flow.shape[2]
+        for feat in unique_feats:
+            H, W = feat.shape[1], feat.shape[2]
+            scale = jnp.asarray([W / fw, H / fh], flow.dtype)
+            flow_ = resize_bilinear(flow, (H, W)) * scale
+            out.append(warp_frozen_flow_table(feat, ids, flow_))
+        return out
+
     @nn.compact
-    def __call__(self, features, flows, merge_mask):
+    def __call__(self, features, flows, merge_mask, warp_table=None):
+        """`features` = [feats_n1, feats_0, feats_p1] pyramids.
+
+        `warp_table`: optional (unique_feats_pyramid, ids) — the TPU training
+        path: `features[0]`/`features[2]` entries are repeats of the unique
+        pyramids, and the 2B stacked warp reads `unique[ids[k]]` for use k
+        (first half = prev uses, second half = next uses). Values are
+        identical to the plain path.
+        """
         feats_n1, feats_0, feats_p1 = features
         flow_0_n1, flow_0_p1 = flows
         levels = len(self.num_ch_enc)
 
         # both neighbors' pyramids warp in one batched gather per level
         B = flow_0_n1.shape[0]
-        both = self._warp_pyramid(
-            [jnp.concatenate([a, b], 0) for a, b in zip(feats_n1, feats_p1)],
-            jnp.concatenate([flow_0_n1, flow_0_p1], 0),
-        )
+        flow_both = jnp.concatenate([flow_0_n1, flow_0_p1], 0)
+        if warp_table is not None and self.fast_grad_warp:
+            unique_feats, ids = warp_table
+            both = self._warp_pyramid_table(unique_feats, tuple(ids), flow_both)
+        else:
+            both = self._warp_pyramid(
+                [jnp.concatenate([a, b], 0) for a, b in zip(feats_n1, feats_p1)],
+                flow_both,
+            )
         feats_n1_0 = [f[:B] for f in both]
         feats_p1_0 = [f[B:] for f in both]
 

@@ -99,16 +99,36 @@ def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
             + jnp.where((lylT + 1) == rrowT, a1T, zrT)
         ).astype(v.dtype)
 
-        for r in range(WH):
-            # (colsel . rowsel[r]) @ v == colsel @ (rowsel[r] . v): scaling
-            # the (P, C) values side costs Wp/C-fold less VPU work than
-            # scaling the (Wp, P) selector, and the MXU LHS stays stationary
-            v_r = v * rowselT[:, r : r + 1]
-            acc = jnp.dot(colsel, v_r, preferred_element_type=jnp.float32)
-            if tx == 0:
-                acc_ref[r] = acc
-            else:
-                acc_ref[r] = acc_ref[r] + acc
+        C = v.shape[-1]
+        if C <= 64:
+            # row-PAIR packing: with C <= 64 lanes a single row's RHS pads
+            # the MXU's 128-wide N dimension to <=50% utilization — packing
+            # two window rows' scaled values as one (P, 2C) RHS runs one
+            # full-width contraction per pair (same flops, half the matmuls)
+            for r in range(0, WH, 2):
+                v2 = jnp.concatenate(
+                    [v * rowselT[:, r : r + 1], v * rowselT[:, r + 1 : r + 2]],
+                    axis=1,
+                )
+                acc = jnp.dot(colsel, v2, preferred_element_type=jnp.float32)
+                if tx == 0:
+                    acc_ref[r] = acc[:, :C]
+                    acc_ref[r + 1] = acc[:, C:]
+                else:
+                    acc_ref[r] = acc_ref[r] + acc[:, :C]
+                    acc_ref[r + 1] = acc_ref[r + 1] + acc[:, C:]
+        else:
+            for r in range(WH):
+                # (colsel . rowsel[r]) @ v == colsel @ (rowsel[r] . v):
+                # scaling the (P, C) values side costs Wp/C-fold less VPU
+                # work than scaling the (Wp, P) selector, and the MXU LHS
+                # stays stationary
+                v_r = v * rowselT[:, r : r + 1]
+                acc = jnp.dot(colsel, v_r, preferred_element_type=jnp.float32)
+                if tx == 0:
+                    acc_ref[r] = acc
+                else:
+                    acc_ref[r] = acc_ref[r] + acc
 
     win_ref[0, 0] = acc_ref[...].astype(win_ref.dtype)
 
@@ -616,6 +636,56 @@ def _wff_bwd(padding_mode, gather_dtype, use_splat, interpret, res, ct):
             f = _zeros_factors((H, W), grid)
         adj = _xla_splat(ct, *f, (H, W))
     return adj.astype(ct.dtype), jnp.zeros_like(flow)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+def warp_frozen_flow_table(table, ids, flow, gather_dtype=None,
+                           use_splat=True, interpret=False):
+    """Indexed frozen-flow warp: N warps drawing from U unique source images
+    (see sampling.grid_sample_table). Forward builds the 4-tap gather block
+    on the U uniques only; backward runs the MXU splat per USE and statically
+    sums each unique image's uses — replacing the batch-concat of repeated
+    feature pyramids (and its backward split+add) that the plain
+    warp_frozen_flow path would require (reference train.py:762-789: 3
+    fusion triplets share 3 unique feature pyramids across 6 warps)."""
+    from mono_vifi_tpu.ops.sampling import grid_sample_table
+
+    return grid_sample_table(
+        table, ids, _flow_to_grid(
+            jax.lax.stop_gradient(jnp.asarray(flow, jnp.float32)),
+            table.shape[1], table.shape[2],
+        ),
+        gather_dtype=gather_dtype,
+    )
+
+
+def _wfft_fwd(table, ids, flow, gather_dtype, use_splat, interpret):
+    out = warp_frozen_flow_table(
+        table, ids, flow, gather_dtype, use_splat, interpret
+    )
+    return out, (flow, table.shape)
+
+
+def _wfft_bwd(ids, gather_dtype, use_splat, interpret, res, ct):
+    flow, table_shape = res
+    U, H, W, C = table_shape
+    grid = _flow_to_grid(jnp.asarray(flow, jnp.float32), H, W)
+    if use_splat:
+        adj = grid_sample_adjoint_image(ct, (H, W), grid, interpret=interpret)
+    else:
+        f = _border_factors((H, W), grid)
+        adj = _xla_splat(ct, *f, (H, W))
+    # static per-unique accumulation of the N per-use adjoints
+    parts = [[] for _ in range(U)]
+    for k, u in enumerate(ids):
+        parts[u].append(adj[k : k + 1])
+    g = jnp.concatenate(
+        [functools.reduce(jnp.add, p) for p in parts], axis=0
+    )
+    return g.astype(ct.dtype), jnp.zeros_like(flow)
+
+
+warp_frozen_flow_table.defvjp(_wfft_fwd, _wfft_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

@@ -103,7 +103,8 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W, CG=1):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "align_corners", "interpret", "tap_dtype")
+    jax.jit,
+    static_argnames=("window", "align_corners", "interpret", "tap_dtype", "planar"),
 )
 def grid_sample_windowed(
     img: jax.Array,
@@ -112,10 +113,14 @@ def grid_sample_windowed(
     align_corners: bool = True,
     interpret: bool = False,
     tap_dtype=None,
+    planar: bool = False,
 ) -> jax.Array:
     """Bilinear border-padded sampling via the windowed Pallas kernel.
 
     Requires Ho % 8 == 0, Wo % 128 == 0, H >= window[0], W >= window[1].
+    `planar=True` returns (B, C, Ho, Wo) — the kernel's native channel-planar
+    tap layout — skipping the NHWC transpose for consumers (the photometric
+    losses) that operate planar anyway.
     See module docstring for the exactness contract.
     """
     B, H, W, C = img.shape
@@ -150,6 +155,8 @@ def grid_sample_windowed(
     top = (1.0 - wxc) * t00 + wxc * t01
     bot = (1.0 - wxc) * t10 + wxc * t11
     out_chw = (1.0 - wyc) * top + wyc * bot
+    if planar:
+        return out_chw.astype(img.dtype)
     return out_chw.transpose(0, 2, 3, 1).astype(img.dtype)
 
 
@@ -331,6 +338,7 @@ def grid_sample_windowed_safe(
     align_corners: bool = True,
     tap_dtype=None,
     interpret: bool = False,
+    planar: bool = False,
 ) -> jax.Array:
     """Windowed kernel with a runtime max-source-offset guard cascade.
 
@@ -355,14 +363,15 @@ def grid_sample_windowed_safe(
     _, Ho, Wo, _ = grid.shape
 
     def exact(im, g):
-        return sampling.grid_sample(
+        out = sampling.grid_sample(
             im, g, align_corners=align_corners, gather_dtype=tap_dtype
         ).astype(img.dtype)
+        return out.transpose(0, 3, 1, 2) if planar else out
 
     branches = [
         (lambda im, g, w=w: grid_sample_windowed(
             im, g, window=w, align_corners=align_corners,
-            tap_dtype=tap_dtype, interpret=interpret,
+            tap_dtype=tap_dtype, interpret=interpret, planar=planar,
         ))
         for w in windows
     ] + [exact]

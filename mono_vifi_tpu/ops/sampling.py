@@ -98,7 +98,11 @@ def grid_sample(
 
         flat = block.reshape(B, H * W, 4 * C)
         idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(B, Ho * Wo, 1)
-        g = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, 4, C)
+        # indices are clamped above — promising in-bounds drops the gather's
+        # fill-select and bounds-compare fusions (measured ~5 ms/step)
+        g = jnp.take_along_axis(
+            flat, idx, axis=1, mode="promise_in_bounds"
+        ).reshape(B, Ho, Wo, 4, C)
         # combine in the gathered dtype: upcasting g would materialize a
         # full-size f32 copy of the 4-tap block (GBs for feature warps), and
         # matching dtypes keeps the backward scatter-add well-typed
@@ -158,7 +162,9 @@ def grid_sample(
 
     flat = block.reshape(B, H * W, 4 * C).astype(compute_dtype)
     idx = (y0b * W + x0b).reshape(B, Ho * Wo, 1)
-    g = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, 4, C)
+    g = jnp.take_along_axis(
+        flat, idx, axis=1, mode="promise_in_bounds"
+    ).reshape(B, Ho, Wo, 4, C)
 
     def pick(ty, tx):
         ry = jnp.clip(ty - y0b, 0, 1)[..., None]
@@ -179,6 +185,63 @@ def grid_sample(
         + w11 * pick(y1, x1)
     )
     return out.astype(img.dtype)
+
+
+def grid_sample_table(
+    table: jax.Array,
+    ids: tuple[int, ...],
+    grid: jax.Array,
+    gather_dtype=None,
+) -> jax.Array:
+    """Border-mode bilinear sampling where N grids draw from U unique source
+    images (N >= U): `out[k] = grid_sample(table[ids[k]], grid[k])`.
+
+    The 4-tap footprint block is built ONCE over the U unique images and all
+    N warps gather from it with id-offset row indices — on TPU the gather is
+    issue-rate-bound per ROW, so rows scale with N (unavoidable) but the
+    block-build write traffic scales with U (vs N for materializing
+    `table[ids]` first). Used by the fusion feature warps, where 3 unique
+    feature pyramids serve 6 warp uses (reference fusion_module.py:80-90 /
+    train.py:762-789 call pattern).
+
+    Args:
+      table: (U, H, W, C) unique source images.
+      ids: static length-N tuple of ints in [0, U).
+      grid: (N, H, W, 2) normalized coords, (x, y), align_corners=True.
+    """
+    U, H, W, C = table.shape
+    N, Ho, Wo, _ = grid.shape
+    assert len(ids) == N and Ho == H and Wo == W, (table.shape, grid.shape)
+    compute_dtype = jnp.promote_types(table.dtype, grid.dtype)
+
+    x = _unnormalize(grid[..., 0].astype(compute_dtype), W, True)
+    y = _unnormalize(grid[..., 1].astype(compute_dtype), H, True)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    src = table if gather_dtype is None else table.astype(gather_dtype)
+    srcp = jnp.pad(src, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    block = jnp.concatenate(
+        [srcp[:, :H, :W], srcp[:, :H, 1:], srcp[:, 1:, :W], srcp[:, 1:, 1:]],
+        axis=-1,
+    )
+    flat = block.reshape(U * H * W, 4 * C)
+    base = jnp.asarray([i * H * W for i in ids], jnp.int32).reshape(N, 1)
+    idx = (
+        base + (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(N, -1)
+    ).reshape(-1)
+    g = flat.at[idx].get(mode="promise_in_bounds").reshape(N, Ho, Wo, 4, C)
+    wxg = wx.astype(g.dtype)
+    wyg = wy.astype(g.dtype)
+    one = jnp.ones((), g.dtype)
+    top = (one - wxg) * g[..., 0, :] + wxg * g[..., 1, :]
+    bot = (one - wxg) * g[..., 2, :] + wxg * g[..., 3, :]
+    out = (one - wyg) * top + wyg * bot
+    return out.astype(table.dtype)
 
 
 def warp(img: jax.Array, flow: jax.Array, gather_dtype=None) -> jax.Array:

@@ -113,20 +113,27 @@ class MonoViFiStep:
             td = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
             # _safe: runtime span guard falls back to the exact gather when
             # early-training depth produces out-of-window offsets; both
-            # source frames batch into ONE kernel launch
+            # source frames batch into ONE kernel launch. planar=True: the
+            # kernel's native channel-planar taps feed the planar photometric
+            # losses directly (no NHWC round-trip transpose)
             pred2 = _f32(
                 pwarp.grid_sample_windowed_safe(
                     jnp.concatenate([src_n1, src_p1], 0),
                     jnp.concatenate([grid_n1, grid_p1], 0),
                     tap_dtype=td,
+                    planar=True,
                 )
             )
             N = src_n1.shape[0]
-            pred_n1, pred_p1 = pred2[:N], pred2[N:]
+            pred_n1_pl, pred_p1_pl = pred2[:N], pred2[N:]
         else:
             gd = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
-            pred_n1 = _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
-            pred_p1 = _f32(sampling.grid_sample(src_p1, grid_p1, gather_dtype=gd))
+            pred_n1_pl = L.to_planar(
+                _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
+            )
+            pred_p1_pl = L.to_planar(
+                _f32(sampling.grid_sample(src_p1, grid_p1, gather_dtype=gd))
+            )
 
         # channel-planar loss layout: stacking candidate loss maps along the
         # LEADING axis keeps the tiled (H, W) pair intact (a trailing
@@ -150,7 +157,7 @@ class MonoViFiStep:
                 p, tgt_pl, use_ssim, moments
             )
         reproj = jnp.stack(
-            [rpl(L.to_planar(pred_n1)), rpl(L.to_planar(pred_p1))],
+            [rpl(pred_n1_pl), rpl(pred_p1_pl)],
             axis=0,
         )
         if cfg.avg_reprojection:
@@ -359,22 +366,47 @@ class MonoViFiStep:
         def to_depth(d):
             return geometry.disp_to_depth(d, cfg.min_depth, cfg.max_depth)[1]
 
-        # ---- multi-frame: 3 fusion triplets in one pass (train.py:762-789)
-        prev_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
-                      zip(fn1_mf, fn1_mf, f0_mf)]
-        center_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
-                        zip(f0_mf, fnt_mf, fpt_mf)]
-        next_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
-                      zip(fp1_mf, f0_mf, fp1_mf)]
+        # ---- multi-frame: 3 fusion triplets in one pass (train.py:762-789).
+        # The 3 triplets' prev/next pyramids repeat 3 unique pyramids
+        # (f0, fn1, fp1) across 6 warp uses — the TPU path passes them as a
+        # unique-image table + static use->image ids (no repeated-pyramid
+        # concat; the center stack is a contiguous slice of the fused
+        # encoder output). Values identical to the concat formulation.
+        # [f0, fnt, fpt] are the first three B-slices of the fused encoder
+        # stack in both sharing modes -> the center stack is one free slice
+        mf_stack = (
+            feats_mf_all if cfg.fuse_model_type == "separate_all" else feats_all
+        )
+        center_feats = [f[: 3 * B] for f in mf_stack]
         flow_prev = jnp.concatenate([flow_0_n1, flow_nt_n1, flow_pt_0], 0)
         flow_next = jnp.concatenate([flow_0_p1, flow_nt_0, flow_pt_p1], 0)
         mask3 = jnp.concatenate([mask_01, mask_nt, mask_pt], 0)
-        fused = b.fusion_module.apply(
-            {"params": params["fusion_module"]},
-            [prev_feats, center_feats, next_feats],
-            (flow_prev, flow_next),
-            mask3,
-        )
+        if getattr(b, "fast_warp", False):
+            unique = [
+                jnp.concatenate([a, a2, a3], 0)
+                for a, a2, a3 in zip(f0_mf, fn1_mf, fp1_mf)
+            ]
+            ids = []
+            for p in (1, 1, 0, 2, 0, 2):  # prev: fn1,fn1,f0; next: fp1,f0,fp1
+                ids += [p * B + j for j in range(B)]
+            fused = b.fusion_module.apply(
+                {"params": params["fusion_module"]},
+                [None, center_feats, None],
+                (flow_prev, flow_next),
+                mask3,
+                warp_table=(unique, tuple(ids)),
+            )
+        else:
+            prev_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
+                          zip(fn1_mf, fn1_mf, f0_mf)]
+            next_feats = [jnp.concatenate([a, a2, a3], 0) for a, a2, a3 in
+                          zip(fp1_mf, f0_mf, fp1_mf)]
+            fused = b.fusion_module.apply(
+                {"params": params["fusion_module"]},
+                [prev_feats, center_feats, next_feats],
+                (flow_prev, flow_next),
+                mask3,
+            )
         disp_fuse = _f32(
             b.depth.apply({"params": self._depth_params(params, True)}, fused)[0]
         )

@@ -57,7 +57,7 @@ def main():
         if not args.no_affine or not k.startswith(("color_affine", "Rc", "ratio",
                                                    "angle", "box", "valid_mask"))
     }
-    step = jax.jit(MonoViFiStep(bundle, tx).make_train_step())
+    step = jax.jit(MonoViFiStep(bundle, tx).make_train_step(), donate_argnums=0)
 
     # warmup/compile
     state, metrics = step(state, vfi_params, batch, jax.random.PRNGKey(2))
