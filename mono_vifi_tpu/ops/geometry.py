@@ -152,11 +152,17 @@ def conjugate_pose(pose: jax.Array, Rc: jax.Array) -> jax.Array:
     projection path only ever reads rows :3).
     """
     hp = jax.lax.Precision.HIGHEST
-    R = pose[:, :3, :3]
-    t = pose[:, :3, 3:4]
+    # conjugation runs in f32 regardless of the (possibly bf16) pose dtype:
+    # 4x4 pose algebra is precision-critical and free, and a uniform f32
+    # scatter avoids XLA's f32-value-into-bf16-operand scatter (a JAX
+    # FutureWarning, soon an error)
+    f32 = jnp.float32
+    R = pose[:, :3, :3].astype(f32)
+    t = pose[:, :3, 3:4].astype(f32)
+    Rc = Rc.astype(f32)
     Rc_inv = jnp.linalg.inv(Rc)
-    out = jnp.zeros_like(pose)
+    out = jnp.zeros(pose.shape, f32)
     RcR = jnp.matmul(Rc, jnp.matmul(R, Rc_inv, precision=hp), precision=hp)
     out = out.at[:, :3, :3].set(RcR)
     out = out.at[:, :3, 3:4].set(jnp.matmul(Rc, t, precision=hp))
-    return out
+    return out.astype(pose.dtype)

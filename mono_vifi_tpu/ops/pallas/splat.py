@@ -325,10 +325,15 @@ def bilinear_splat(
         a1 = a1.astype(f32) * v
 
     # windows are the big transient ((Bc, nty, WH, Wp, C) bf16) — chunk the
-    # batch through lax.map to bound peak HBM (~512 MB of windows per chunk)
+    # batch through lax.map to bound peak HBM (~1 GB of windows per chunk;
+    # the training shapes fit in ONE chunk, skipping the map entirely —
+    # measured ~20 ms/step of lax.map slice/convert/add glue, and an
+    # unbalanced last chunk would zero-pad up to chunk-1 images of pure
+    # wasted kernel work)
     win_bytes = nty * WH * Wp * max(C, 1) * 2
-    chunk = max(1, min(B, (512 * 2**20) // max(win_bytes, 1)))
+    chunk = max(1, min(B, (1024 * 2**20) // max(win_bytes, 1)))
     n_chunks = -(-B // chunk)
+    chunk = -(-B // n_chunks)  # balance chunks: no padded-image waste
     Bp = n_chunks * chunk
 
     def pad_b(x):

@@ -102,15 +102,18 @@ def grid_sample(
         # fill-select and bounds-compare fusions (measured ~5 ms/step)
         g = jnp.take_along_axis(
             flat, idx, axis=1, mode="promise_in_bounds"
-        ).reshape(B, Ho, Wo, 4, C)
+        ).reshape(B, Ho, Wo, 4 * C)
         # combine in the gathered dtype: upcasting g would materialize a
         # full-size f32 copy of the 4-tap block (GBs for feature warps), and
-        # matching dtypes keeps the backward scatter-add well-typed
+        # matching dtypes keeps the backward scatter-add well-typed. Taps
+        # are LANE SLICES of the packed 4C row, not a (..., 4, C) reshape —
+        # the reshape materializes a lane-repadded copy (measured ~10 ms/
+        # step on the C=64 feature warps); slices fuse into the lerp.
         wxg = wx.astype(g.dtype)
         wyg = wy.astype(g.dtype)
         one = jnp.ones((), g.dtype)
-        top = (one - wxg) * g[..., 0, :] + wxg * g[..., 1, :]
-        bot = (one - wxg) * g[..., 2, :] + wxg * g[..., 3, :]
+        top = (one - wxg) * g[..., :C] + wxg * g[..., C : 2 * C]
+        bot = (one - wxg) * g[..., 2 * C : 3 * C] + wxg * g[..., 3 * C :]
         out = (one - wyg) * top + wyg * bot
         return out.astype(img.dtype)
 
@@ -164,13 +167,15 @@ def grid_sample(
     idx = (y0b * W + x0b).reshape(B, Ho * Wo, 1)
     g = jnp.take_along_axis(
         flat, idx, axis=1, mode="promise_in_bounds"
-    ).reshape(B, Ho, Wo, 4, C)
+    ).reshape(B, Ho, Wo, 4 * C)
 
     def pick(ty, tx):
+        # lane-sliced taps (see border path: a (..., 4, C) reshape would
+        # materialize a lane-repadded copy)
         ry = jnp.clip(ty - y0b, 0, 1)[..., None]
         rx = jnp.clip(tx - x0b, 0, 1)[..., None]
-        top = jnp.where(rx == 1, g[..., 1, :], g[..., 0, :])
-        bot = jnp.where(rx == 1, g[..., 3, :], g[..., 2, :])
+        top = jnp.where(rx == 1, g[..., C : 2 * C], g[..., :C])
+        bot = jnp.where(rx == 1, g[..., 3 * C :], g[..., 2 * C : 3 * C])
         return jnp.where(ry == 1, bot, top)
 
     w00 = jnp.where((my0 & mx0)[..., None], (1.0 - wy) * (1.0 - wx), 0.0)
@@ -234,12 +239,14 @@ def grid_sample_table(
     idx = (
         base + (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(N, -1)
     ).reshape(-1)
-    g = flat.at[idx].get(mode="promise_in_bounds").reshape(N, Ho, Wo, 4, C)
+    g = flat.at[idx].get(mode="promise_in_bounds").reshape(N, Ho, Wo, 4 * C)
+    # lane-sliced taps (see grid_sample: a (..., 4, C) reshape materializes
+    # a lane-repadded copy; slices fuse into the lerp)
     wxg = wx.astype(g.dtype)
     wyg = wy.astype(g.dtype)
     one = jnp.ones((), g.dtype)
-    top = (one - wxg) * g[..., 0, :] + wxg * g[..., 1, :]
-    bot = (one - wxg) * g[..., 2, :] + wxg * g[..., 3, :]
+    top = (one - wxg) * g[..., :C] + wxg * g[..., C : 2 * C]
+    bot = (one - wxg) * g[..., 2 * C : 3 * C] + wxg * g[..., 3 * C :]
     out = (one - wyg) * top + wyg * bot
     return out.astype(table.dtype)
 
