@@ -70,6 +70,14 @@ def resize_bilinear(
         if dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    if C == 1:
+        # planar path: a trailing C=1 minor dim would 128x lane-pad every
+        # einsum temp (masks, disparities); squeeze, interpolate with W as
+        # the real minor dim, restore
+        xp = x[..., 0]
+        y = jnp.einsum("oh,bhw->bow", Mh, xp, precision=hp)
+        y = jnp.einsum("pw,bow->bop", Mw, y, precision=hp)
+        return y[..., None]
     y = jnp.einsum("oh,bhwc->bowc", Mh, x, precision=hp)
     y = jnp.einsum("pw,bowc->bopc", Mw, y, precision=hp)
     return y
