@@ -268,7 +268,7 @@ def splat_spans_ok(ly, lx, out_hw, window=(24, 0)) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_hw", "window", "interpret")
+    jax.jit, static_argnames=("out_hw", "window", "interpret", "max_chunk_bytes")
 )
 def bilinear_splat(
     ct: jax.Array,
@@ -281,6 +281,7 @@ def bilinear_splat(
     out_hw: tuple[int, int],
     window: tuple[int, int] = (32, 0),
     interpret: bool = False,
+    max_chunk_bytes: int = 1024 * 2**20,
 ) -> jax.Array:
     """Scatter-add ct into an (out_hw) plane with separable bilinear weights.
 
@@ -329,9 +330,10 @@ def bilinear_splat(
     # the training shapes fit in ONE chunk, skipping the map entirely —
     # measured ~20 ms/step of lax.map slice/convert/add glue, and an
     # unbalanced last chunk would zero-pad up to chunk-1 images of pure
-    # wasted kernel work)
+    # wasted kernel work). `max_chunk_bytes` exists for tests to force the
+    # chunked path at small shapes.
     win_bytes = nty * WH * Wp * max(C, 1) * 2
-    chunk = max(1, min(B, (1024 * 2**20) // max(win_bytes, 1)))
+    chunk = max(1, min(B, max_chunk_bytes // max(win_bytes, 1)))
     n_chunks = -(-B // chunk)
     chunk = -(-B // n_chunks)  # balance chunks: no padded-image waste
     Bp = n_chunks * chunk

@@ -158,3 +158,32 @@ def test_rotate_grad_via_splat_matches_exact():
     gs = jax.grad(loss_splat)(depth)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(ge), atol=5e-2,
                                rtol=2e-2)
+
+
+def test_bilinear_splat_chunked_matches_single_chunk():
+    """The lax.map batch-chunked path (taken only when the window transient
+    exceeds the HBM cap) must equal the single-chunk path, including an
+    uneven batch split (B=5 -> balanced 3+2 chunks)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mono_vifi_tpu.ops.pallas import splat
+
+    B, Ho, Wo, C, H, W = 5, 16, 128, 3, 16, 128
+    k = jax.random.PRNGKey(3)
+    ks = jax.random.split(k, 7)
+    ct = jax.random.normal(ks[0], (B, Ho, Wo, C), jnp.float32)
+    ly = jax.random.randint(ks[1], (B, Ho, Wo), 0, H - 1)
+    lx = jax.random.randint(ks[2], (B, Ho, Wo), 0, W - 1)
+    a0, a1, c0, c1 = (
+        jax.random.uniform(ks[3 + i], (B, Ho, Wo), jnp.float32)
+        for i in range(4)
+    )
+    args = (ct, ly, lx, a0, a1, c0, c1, (H, W))
+    one = splat.bilinear_splat(*args, window=(32, 0), interpret=True)
+    win_bytes = 2 * 16 * 128 * C * 2  # nty * WH * Wp * C * 2 for these shapes
+    many = splat.bilinear_splat(
+        *args, window=(32, 0), interpret=True,
+        max_chunk_bytes=2 * win_bytes,  # forces 3 chunks of 2 (balanced 2+2+1->2)
+    )
+    np.testing.assert_allclose(np.asarray(one), np.asarray(many), atol=1e-5)
