@@ -53,10 +53,22 @@ def make_batch(B, H, W):
     }
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache (shared with tools/): makes repeat
+    bench/profile invocations start in seconds instead of minutes."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mono_vifi_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
     import argparse
 
     import jax
+
+    enable_compile_cache()
 
     from mono_vifi_tpu.config import Options
     from mono_vifi_tpu.training import monovifi

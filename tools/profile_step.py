@@ -36,6 +36,8 @@ def main():
 
     import jax
     import bench
+
+    bench.enable_compile_cache()
     from mono_vifi_tpu.config import Options
     from mono_vifi_tpu.training import monovifi
     from mono_vifi_tpu.training.monovifi import MonoViFiStep
