@@ -19,20 +19,26 @@ from mono_vifi_tpu.models.resnet import ResNetFeatures, num_ch_enc
 from mono_vifi_tpu.ops.image import upsample_nearest
 
 
-# ---------------------------------------------------------------- S2D stage
+# ---------------------------------------------------------- S2D decoder tail
 #
-# The decoder's full-resolution stage (upsample -> 3x3 conv x2 at
-# (H, W, 16)) is the worst TPU layout in the model: 16-channel minor dims
-# get 8x lane-tile padding on every elementwise/copy op, and C=1 disp maps
-# get 128x. The stage is therefore evaluated in SPACE-TO-DEPTH form: the
-# (H, W, 16) plane becomes (H/2, W/2, 64) with phase-major channels
-# (qy*2+qx)*16+c, where
-#   - nearest x2 upsampling is a pure channel tile (all 4 phases equal),
-#   - the reflect-padded 3x3 conv becomes a 3x3 conv over blocks with the
-#     original kernel's taps scattered into a (3, 3, 64, 4*cout) kernel
-#     (exact linear-algebra rearrangement of the SAME parameters),
+# The decoder's high-resolution levels (1 and 0) are the worst TPU layouts in
+# the model: 16/32/96-channel minor dims leave the MXU at 2-19% utilization
+# (a (3, 3, 96, 32) conv takes as long as a (3, 3, 128, 128) one) and C=1
+# disp maps get 128x lane-tile padding on every elementwise/copy op. The
+# whole tail below level 2 is therefore evaluated in SPACE-TO-DEPTH form on
+# the 1/4-resolution block grid:
+#   - a full-res (H, W, C) plane becomes (H/f, W/f, f*f*C) with phase-major
+#     channels (qy*f+qx)*C+c,
+#   - nearest x2 upsampling is a pure channel tile (all phases equal),
+#   - a reflect-padded 3x3 conv becomes a 3x3 conv over blocks with the
+#     original kernel's taps scattered into a (3, 3, f^2*cin, f^2*cout)
+#     block kernel (exact linear-algebra rearrangement of the SAME
+#     parameters; block channels 128+ run the MXU at full tiles),
 #   - reflect padding of one original pixel becomes phase-selected edge
-#     blocks (the unused phases carry zero weights).
+#     blocks (the unused phases carry zero weights),
+#   - conv-after-nearest-upsample contracts duplicated channels, so the
+#     duplicates are summed INTO the kernel instead of materialized
+#     ("collapsed" kernel: 4x fewer FLOPs than the naive block form).
 # Parameters keep the standard ConvBlock/Conv3x3 layout, so checkpoints
 # and the torch parity oracle are unchanged.
 
@@ -67,49 +73,121 @@ class _NestedConvParams(nn.Module):
         )()
 
 
-def _s2d_kernel(w, b):
-    """(3, 3, cin, cout) full-res kernel -> (3, 3, 4*cin, 4*cout) block
+def _s2d_kernel(w, b, f=2):
+    """(3, 3, cin, cout) full-res kernel -> (3, 3, f^2*cin, f^2*cout) block
     kernel + tiled bias (phase-major channel order)."""
     cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
-    for py in (0, 1):
-        for px in (0, 1):
+    w2 = jnp.zeros((3, 3, f * f * cin, f * f * cout), w.dtype)
+    for py in range(f):
+        for px in range(f):
             for ky in range(3):
                 for kx in range(3):
                     u, v = py + ky - 1, px + kx - 1
-                    by, qy = u // 2, u % 2
-                    bx, qx = v // 2, v % 2
-                    ci = (qy * 2 + qx) * cin
-                    co = (py * 2 + px) * cout
+                    by, qy = u // f, u % f
+                    bx, qx = v // f, v % f
+                    ci = (qy * f + qx) * cin
+                    co = (py * f + px) * cout
                     w2 = w2.at[
                         by + 1, bx + 1, ci : ci + cin, co : co + cout
                     ].set(w[ky, kx])
+    b2 = jnp.tile(b, f * f)
+    return w2, b2
+
+
+def _s2d_kernel_collapsed_up2(w, b):
+    """(3, 3, cin, cout) full-res kernel -> (3, 3, 4*cin, 16*cout) block
+    kernel for a conv whose input is the nearest-x2 UPSAMPLE of a half-res
+    plane held in f=2 block form on the same f=4 block grid.
+
+    The f=4 block conv would contract 16*cin input channels, but the
+    upsample duplicates each f=2 phase into 4 f=4 phases — summing the
+    duplicate entries into the kernel (`.add` below: several full-res taps
+    land on the same half-res source) gives the identical result at 1/4 the
+    FLOPs, with no materialized upsample at all."""
+    cin, cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((3, 3, 4 * cin, 16 * cout), w.dtype)
+    for py in range(4):
+        for px in range(4):
+            for ky in range(3):
+                for kx in range(3):
+                    u, v = py + ky - 1, px + kx - 1
+                    by, qy = u // 4, u % 4
+                    bx, qx = v // 4, v % 4
+                    ci = ((qy // 2) * 2 + (qx // 2)) * cin
+                    co = (py * 4 + px) * cout
+                    w2 = w2.at[
+                        by + 1, bx + 1, ci : ci + cin, co : co + cout
+                    ].add(w[ky, kx])
+    b2 = jnp.tile(b, 16)
+    return w2, b2
+
+
+def _s2d_kernel_collapsed_plain2(w, b):
+    """(3, 3, cin, cout) full-res kernel -> (3, 3, cin, 4*cout) kernel for a
+    conv whose input is the nearest-x2 UPSAMPLE of a PLAIN (un-blocked)
+    half-res plane, evaluated on the f=2 block grid (= the half-res pixel
+    grid). The duplicate phases collapse onto the plain pixels, and the
+    full-res reflect pad reduces to an EDGE pad of the half-res plane
+    (full-res row -1 reflects to row 1, whose half-res source is row 0)."""
+    cin, cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for py in range(2):
+        for px in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    u, v = py + ky - 1, px + kx - 1
+                    by, bx = u // 2, v // 2
+                    co = (py * 2 + px) * cout
+                    w2 = w2.at[by + 1, bx + 1, :, co : co + cout].add(w[ky, kx])
     b2 = jnp.tile(b, 4)
     return w2, b2
 
 
-def _s2d_reflect_pad(xs, c):
+def _s2d_reflect_pad(xs, c, f=2, top_src=None, bot_src=None):
     """One-original-pixel reflect pad in block space: edge blocks with the
     needed phases selected from the adjacent interior block (unused phases
-    are zero — their block-kernel weights are zero)."""
-    B, Hb, Wb, _ = xs.shape
-    p = xs.reshape(B, Hb, Wb, 2, 2, c)
-    zy = jnp.zeros_like(p[:, :1])
-    top = zy.at[:, :, :, 1].set(p[:, :1, :, 1])
-    bot = zy.at[:, :, :, 0].set(p[:, -1:, :, 0])
-    p = jnp.concatenate([top, p, bot], axis=1)
-    zx = jnp.zeros_like(p[:, :, :1])
-    left = zx.at[:, :, :, :, 1].set(p[:, :, :1, :, 1])
-    right = zx.at[:, :, :, :, 0].set(p[:, :, -1:, :, 0])
-    p = jnp.concatenate([left, p, right], axis=2)
-    return p.reshape(B, Hb + 2, Wb + 2, 4 * c)
+    are zero — their block-kernel weights are zero).
+
+    Plain block tensors reflect full-res row/col +-1 -> phase 1 / f-2; the
+    collapsed-upsample form (f=2 blocks consumed by an f=4 kernel) reflects
+    the half-res SOURCE of full-res row 1, i.e. phase 0 / f-1 — pass
+    top_src/bot_src to override.
+
+    Layout note: phase-major channels make every y-phase a CONTIGUOUS
+    channel group, so the y edge blocks are plain channel slices and the
+    big concats stay 4-D NHWC — a 6-D (f, f, c) reshape of the full tensor
+    relayouts it on TPU (~2 ms per conv input at training shapes)."""
+    if top_src is None:
+        top_src = 1
+    if bot_src is None:
+        bot_src = f - 2
+    B, Hb, Wb, FC = xs.shape
+    g = f * c  # channels per y-phase group
+    zg = jnp.zeros((B, 1, Wb, (f - 1) * g), xs.dtype)
+    # top block: y-phase f-1 (last channel group) := block0 y-phase top_src
+    top = jnp.concatenate(
+        [zg, xs[:, :1, :, top_src * g : (top_src + 1) * g]], axis=-1
+    )
+    bot = jnp.concatenate(
+        [xs[:, -1:, :, bot_src * g : (bot_src + 1) * g], zg], axis=-1
+    )
+    p = jnp.concatenate([top, xs, bot], axis=1)  # (B, Hb+2, Wb, FC)
+    # x edge strips: qx phases interleave within each y group — reshape the
+    # ONE-COLUMN strips only (tiny)
+    zc = jnp.zeros((B, Hb + 2, 1, f, (f - 1) * c), xs.dtype)
+    s = p[:, :, :1].reshape(B, Hb + 2, 1, f, f, c)
+    left = jnp.concatenate([zc, s[..., top_src, :]], axis=-1).reshape(
+        B, Hb + 2, 1, FC
+    )
+    e = p[:, :, -1:].reshape(B, Hb + 2, 1, f, f, c)
+    right = jnp.concatenate([e[..., bot_src, :], zc], axis=-1).reshape(
+        B, Hb + 2, 1, FC
+    )
+    return jnp.concatenate([left, p, right], axis=2)
 
 
-def _s2d_conv3x3(xs, w, b, cin, dtype):
-    """Reflect-padded full-res 3x3 conv evaluated in block space."""
-    w2, b2 = _s2d_kernel(w, b)
-    xp = _s2d_reflect_pad(xs, cin)
-    cd = dtype or xs.dtype
+def _block_conv(xp, w2, b2, dtype):
+    cd = dtype or xp.dtype
     y = jax.lax.conv_general_dilated(
         xp.astype(cd), w2.astype(cd),
         window_strides=(1, 1), padding="VALID",
@@ -118,12 +196,28 @@ def _s2d_conv3x3(xs, w, b, cin, dtype):
     return y + b2.astype(cd)
 
 
-def _depth_to_space(xs, c):
-    """(B, Hb, Wb, 4*c) phase-major -> (B, 2*Hb, 2*Wb, c)."""
+def _s2d_conv3x3(xs, w, b, cin, dtype, f=2):
+    """Reflect-padded full-res 3x3 conv evaluated in block space."""
+    w2, b2 = _s2d_kernel(w, b, f)
+    xp = _s2d_reflect_pad(xs, cin, f)
+    return _block_conv(xp, w2, b2, dtype)
+
+
+def _depth_to_space(xs, c, f=2):
+    """(B, Hb, Wb, f^2*c) phase-major -> (B, f*Hb, f*Wb, c)."""
     B, Hb, Wb, _ = xs.shape
-    p = xs.reshape(B, Hb, Wb, 2, 2, c)
+    p = xs.reshape(B, Hb, Wb, f, f, c)
     p = p.transpose(0, 1, 3, 2, 4, 5)
-    return p.reshape(B, 2 * Hb, 2 * Wb, c)
+    return p.reshape(B, f * Hb, f * Wb, c)
+
+
+def _space_to_depth(x, f=2):
+    """(B, H, W, C) -> (B, H/f, W/f, f^2*C) phase-major (inverse of
+    _depth_to_space)."""
+    B, H, W, C = x.shape
+    p = x.reshape(B, H // f, f, W // f, f, C)
+    p = p.transpose(0, 1, 3, 2, 4, 5)
+    return p.reshape(B, H // f, W // f, f * f * C)
 
 
 class DepthEncoder(nn.Module):
@@ -152,8 +246,8 @@ class DepthDecoder(nn.Module):
     num_output_channels: int = 1
     use_skips: bool = True
     dtype: jnp.dtype | None = None
-    s2d_full_res: bool = True  # evaluate the full-res stage in
-    # space-to-depth form (exact; see module notes)
+    s2d_full_res: bool = True  # evaluate levels 1 and 0 in space-to-depth
+    # block form on the 1/4-res grid (exact; see module notes)
 
     @nn.compact
     def __call__(self, input_features):
@@ -161,27 +255,10 @@ class DepthDecoder(nn.Module):
         outputs = {}
         x = input_features[-1]
         for i in range(4, -1, -1):
+            if i == 1 and self.s2d_full_res:
+                self._s2d_tail(x, input_features, num_ch_dec, outputs)
+                break
             x = ConvBlock(num_ch_dec[i], self.dtype, name=f"upconv_{i}_0")(x)
-            if i == 0 and self.s2d_full_res:
-                # full-res stage in space-to-depth form (see module notes):
-                # nearest x2 upsample == channel tile across the 4 phases
-                c = num_ch_dec[0]
-                xs = jnp.tile(x, (1, 1, 1, 4))
-                kw, kb = _NestedConvParams(
-                    (3, 3, c, c), c, 2, name="upconv_0_1"
-                )()
-                xs = nn.elu(_s2d_conv3x3(xs, kw, kb, c, self.dtype))
-                dw, db = _NestedConvParams(
-                    (3, 3, c, self.num_output_channels),
-                    self.num_output_channels,
-                    1,
-                    name="dispconv_0",
-                )()
-                ds = nn.sigmoid(_s2d_conv3x3(xs, dw, db, c, self.dtype))
-                outputs[0] = _depth_to_space(
-                    ds.astype(jnp.float32), self.num_output_channels
-                )
-                continue
             x = upsample_nearest(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
@@ -192,3 +269,47 @@ class DepthDecoder(nn.Module):
                 )(x)
                 outputs[i] = nn.sigmoid(disp)
         return outputs
+
+    def _s2d_tail(self, x, input_features, num_ch_dec, outputs):
+        """Levels 1 and 0 on the 1/4-res block grid (see module notes).
+
+        x arrives at (B, H/4, W/4, num_ch_dec[2]); every op below is an
+        exact rearrangement of the plain path's convs on the same params."""
+        c1, c0 = num_ch_dec[1], num_ch_dec[0]
+        noc = self.num_output_channels
+        dt = self.dtype
+
+        # ---- level 1: conv -> x2 upsample -> concat skip -> conv
+        x = ConvBlock(c1, dt, name="upconv_1_0")(x)
+        cin11 = c1 + (input_features[0].shape[-1] if self.use_skips else 0)
+        kw, kb = _NestedConvParams((3, 3, cin11, c1), c1, 2, name="upconv_1_1")()
+        # x-part: the nearest-x2 upsample collapses onto x itself (no tile,
+        # no block pad — just an edge pad of the half-res plane)
+        wx2, bx2 = _s2d_kernel_collapsed_plain2(kw[:, :, :c1], kb)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        y = _block_conv(xp, wx2, bx2, dt)
+        if self.use_skips:
+            skip = input_features[0]
+            cs = skip.shape[-1]
+            ws2, _ = _s2d_kernel(kw[:, :, c1:], jnp.zeros_like(kb), 2)
+            sp = _s2d_reflect_pad(_space_to_depth(skip, 2), cs, 2)
+            y = y + _block_conv(sp, ws2, jnp.zeros((4 * c1,), kb.dtype), dt)
+        x = nn.elu(y)  # f=2 blocks, c1/phase
+        if 1 in self.scales:
+            dw, db = _NestedConvParams((3, 3, c1, noc), noc, 1, name="dispconv_1")()
+            d = nn.sigmoid(_s2d_conv3x3(x, dw, db, c1, dt, f=2))
+            outputs[1] = _depth_to_space(d.astype(jnp.float32), noc, 2)
+
+        # ---- level 0: conv (at half res) -> x2 upsample -> conv -> disp head
+        kw, kb = _NestedConvParams((3, 3, c1, c0), c0, 2, name="upconv_0_0")()
+        x = nn.elu(_s2d_conv3x3(x, kw, kb, c1, dt, f=2))  # f=2, c0/phase
+        # the f=4 conv over the x2-upsampled plane reads x's f=2 blocks
+        # directly through the duplicate-collapsed kernel; the reflect pad of
+        # full-res row/col +-1 selects the half-res SOURCE phases (0, f-1)
+        kw, kb = _NestedConvParams((3, 3, c0, c0), c0, 2, name="upconv_0_1")()
+        w2, b2 = _s2d_kernel_collapsed_up2(kw, kb)
+        xp = _s2d_reflect_pad(x, c0, 2, top_src=0, bot_src=1)
+        x = nn.elu(_block_conv(xp, w2, b2, dt))  # f=4, c0/phase
+        dw, db = _NestedConvParams((3, 3, c0, noc), noc, 1, name="dispconv_0")()
+        d = nn.sigmoid(_s2d_conv3x3(x, dw, db, c0, dt, f=4))
+        outputs[0] = _depth_to_space(d.astype(jnp.float32), noc, 4)
