@@ -62,13 +62,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
-                       v_ref, win_ref, acc_ref, *, WH, Wp, ntx):
+def _splat_band_kernel(rr_ref, lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref,
+                       c1_ref, v_ref, win_ref, acc_ref, *, WH, Wp, ntx):
     """One program = one 8-row band of output pixels -> its (WH, Wp, C)
     window. The band's pixels are tile-major: p = tx*1024 + row*128 + col.
     Loops over the band's ntx column-chunks, accumulating the full-width
     window rows in VMEM scratch; columns need no windowing because the
-    window spans the whole (padded) plane width."""
+    window spans the whole (padded) plane width.
+
+    rr_ref (scalar prefetch, (B, nty, 2) i32): this band's [min, max] local
+    tap row — window rows outside [rmin, rmax+1] hold no taps, and their
+    whole row-pair (selects + MXU contraction + accumulate) is skipped.
+    Real flows cluster within a few rows of the per-image shift, so the
+    typical band touches ~1/3 of its window rows."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rmin = rr_ref[b, t, 0]
+    rmax = rr_ref[b, t, 1]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
     wcol = jax.lax.broadcasted_iota(jnp.int32, (Wp, PCHUNK), 0)
     zc = jnp.zeros((Wp, PCHUNK), jnp.float32)
     rrowT = jax.lax.broadcasted_iota(jnp.int32, (PCHUNK, WH), 1)
@@ -106,28 +118,34 @@ def _splat_band_kernel(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
             # two window rows' scaled values as one (P, 2C) RHS runs one
             # full-width contraction per pair (same flops, half the matmuls)
             for r in range(0, WH, 2):
-                v2 = jnp.concatenate(
-                    [v * rowselT[:, r : r + 1], v * rowselT[:, r + 1 : r + 2]],
-                    axis=1,
-                )
-                acc = jnp.dot(colsel, v2, preferred_element_type=jnp.float32)
-                if tx == 0:
-                    acc_ref[r] = acc[:, :C]
-                    acc_ref[r + 1] = acc[:, C:]
-                else:
+
+                @pl.when(jnp.logical_and(rmax + 1 >= r, rmin <= r + 1))
+                def _pair(r=r):
+                    v2 = jnp.concatenate(
+                        [
+                            v * rowselT[:, r : r + 1],
+                            v * rowselT[:, r + 1 : r + 2],
+                        ],
+                        axis=1,
+                    )
+                    acc = jnp.dot(
+                        colsel, v2, preferred_element_type=jnp.float32
+                    )
                     acc_ref[r] = acc_ref[r] + acc[:, :C]
                     acc_ref[r + 1] = acc_ref[r + 1] + acc[:, C:]
         else:
             for r in range(WH):
-                # (colsel . rowsel[r]) @ v == colsel @ (rowsel[r] . v):
-                # scaling the (P, C) values side costs Wp/C-fold less VPU
-                # work than scaling the (Wp, P) selector, and the MXU LHS
-                # stays stationary
-                v_r = v * rowselT[:, r : r + 1]
-                acc = jnp.dot(colsel, v_r, preferred_element_type=jnp.float32)
-                if tx == 0:
-                    acc_ref[r] = acc
-                else:
+
+                @pl.when(jnp.logical_and(rmax + 1 >= r, rmin <= r))
+                def _row(r=r):
+                    # (colsel . rowsel[r]) @ v == colsel @ (rowsel[r] . v):
+                    # scaling the (P, C) values side costs Wp/C-fold less
+                    # VPU work than scaling the (Wp, P) selector, and the
+                    # MXU LHS stays stationary
+                    v_r = v * rowselT[:, r : r + 1]
+                    acc = jnp.dot(
+                        colsel, v_r, preferred_element_type=jnp.float32
+                    )
                     acc_ref[r] = acc_ref[r] + acc
 
     win_ref[0, 0] = acc_ref[...].astype(win_ref.dtype)
@@ -421,31 +439,40 @@ def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
     c1t = _band_flatten(c1, Ho, Wo)
     vt = _band_flatten(ct, Ho, Wo).reshape(B, nty, ntx * TILE_H * TILE_W, C)
 
+    # per-band local tap-row range (edge-padded pixels carry zero weights,
+    # so including them only widens the range — never wrong)
+    rowrange = jnp.stack(
+        [jnp.min(lylt, axis=(2, 3)), jnp.max(lylt, axis=(2, 3))], axis=-1
+    ).astype(jnp.int32)
+
     Pband = ntx * TILE_H * TILE_W
     vec_spec = pl.BlockSpec(
-        (1, 1, 1, Pband), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, Pband), lambda b, t, s: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
     windows = pl.pallas_call(
         functools.partial(_splat_band_kernel, WH=WH, Wp=Wp, ntx=ntx),
-        grid=(B, nty),
-        in_specs=[vec_spec] * 6
-        + [
-            pl.BlockSpec(
-                (1, 1, Pband, C), lambda b, t: (b, t, 0, 0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nty),
+            in_specs=[vec_spec] * 6
+            + [
+                pl.BlockSpec(
+                    (1, 1, Pband, C), lambda b, t, s: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, WH, Wp, C), lambda b, t, s: (b, t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, WH, Wp, C), lambda b, t: (b, t, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((WH, Wp, C), f32)],
         ),
         out_shape=jax.ShapeDtypeStruct((B, nty, WH, Wp, C), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((WH, Wp, C), f32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20,
         ),
-    )(lylt, lxt, a0t, a1t, c0t, c1t, vt)
+    )(rowrange, lylt, lxt, a0t, a1t, c0t, c1t, vt)
 
     return _combine_bands(
         windows, dy, H=H, W=W, WH=WH, Wp=Wp, nty=nty, pad_y=pad_y,
