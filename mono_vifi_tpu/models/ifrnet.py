@@ -154,8 +154,20 @@ class IFRNet(nn.Module):
         fts = [ft_]
 
         for dec, lvl in ((decoder3, 2), (decoder2, 1), (decoder1, 0)):
-            f0w = warp(f0[lvl], flow0)
-            f1w = warp(f1[lvl], flow1)
+            if self.fast_warp:
+                # both frames' feature warps in one guarded patch-gather
+                # call (one 3x3-footprint row per 2x2 patch: 4x fewer rows
+                # on the rate-bound gather; exact — falls back per-pixel
+                # on non-smooth flows)
+                fw = warp(
+                    jnp.concatenate([f0[lvl], f1[lvl]], 0),
+                    jnp.concatenate([flow0, flow1], 0),
+                    patch_gather=True,
+                )
+                f0w, f1w = fw[: flow0.shape[0]], fw[flow0.shape[0] :]
+            else:
+                f0w = warp(f0[lvl], flow0)
+                f1w = warp(f1[lvl], flow1)
             out = dec(jnp.concatenate([ft_, f0w, f1w, flow0, flow1], axis=-1))
             up0 = 2.0 * resize_bilinear(flow0, out.shape[1:3])
             up1 = 2.0 * resize_bilinear(flow1, out.shape[1:3])

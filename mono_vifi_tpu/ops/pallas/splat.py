@@ -203,7 +203,8 @@ def _band_flatten(x: jax.Array, Ho: int, Wo: int, mode: str = "constant"):
     return x.reshape((B, nty, 1, ntx * TILE_H * TILE_W) + trailing)
 
 
-def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a):
+def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a,
+                   out_dtype=jnp.float32):
     """Overlap-add the regularly-placed band windows into the adjoint plane.
 
     `windows` is (B, nty, WH, Wp, ...trailing) — the same logic serves the
@@ -213,12 +214,15 @@ def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a):
     of band-padded chunk arrays — one fused XLA add-tree, NOT a sequential
     .at[].add chain (which copies the whole canvas per chunk; measured ~4x
     slower) — and the per-image vertical shift dy is undone by one row
-    gather (byte-bound, cheap)."""
+    gather (byte-bound, cheap). Sums run in f32; `out_dtype` sets the
+    MATERIALIZED canvas/plane dtype — the training wrappers pass the
+    cotangent dtype (bf16), halving the canvas write + row-gather traffic
+    for a result that was about to be cast to ct.dtype anyway."""
     f32 = jnp.float32
     B = windows.shape[0]
     trailing = windows.shape[4:]
     if mode_a:
-        plane = jnp.sum(windows.astype(f32), axis=1)
+        plane = jnp.sum(windows.astype(f32), axis=1).astype(out_dtype)
         return plane[:, :H, :W]
 
     K = WH // 8
@@ -229,7 +233,7 @@ def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a):
         pads = [(0, 0), (i, K - 1 - i)] + [(0, 0)] * (chunks.ndim - 3)
         blk = jnp.pad(chunks[:, :, i].astype(f32), pads)
         acc = blk if acc is None else acc + blk
-    canvas = acc.reshape((B, canvasH, Wp) + trailing)
+    canvas = acc.astype(out_dtype).reshape((B, canvasH, Wp) + trailing)
 
     rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
     valid = (rows >= 0) & (rows < canvasH)
@@ -237,7 +241,7 @@ def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a):
     idx = rows_c.reshape((B, H) + (1,) * (canvas.ndim - 2))
     plane = jnp.take_along_axis(canvas, idx, axis=1)
     vm = valid.reshape((B, H) + (1,) * (canvas.ndim - 2))
-    plane = jnp.where(vm, plane, 0.0)
+    plane = jnp.where(vm, plane, jnp.zeros((), plane.dtype))
     return plane[:, :, :W]
 
 
@@ -286,7 +290,10 @@ def splat_spans_ok(ly, lx, out_hw, window=(24, 0)) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_hw", "window", "interpret", "max_chunk_bytes")
+    jax.jit,
+    static_argnames=(
+        "out_hw", "window", "interpret", "max_chunk_bytes", "out_dtype"
+    ),
 )
 def bilinear_splat(
     ct: jax.Array,
@@ -300,6 +307,7 @@ def bilinear_splat(
     window: tuple[int, int] = (32, 0),
     interpret: bool = False,
     max_chunk_bytes: int = 1024 * 2**20,
+    out_dtype=None,
 ) -> jax.Array:
     """Scatter-add ct into an (out_hw) plane with separable bilinear weights.
 
@@ -314,9 +322,10 @@ def bilinear_splat(
         horizontal extent is always the full padded plane width).
 
     Returns:
-      (B, H, W, C) f32 adjoint. Out-of-budget vertical taps are SILENTLY
-      misplaced — call splat_spans_ok first (or grid_sample_adjoint_image,
-      which guards and falls back).
+      (B, H, W, C) adjoint in `out_dtype` (None = f32; sums always run in
+      f32 — out_dtype only sets the materialized plane dtype). Out-of-budget
+      vertical taps are SILENTLY misplaced — call splat_spans_ok first (or
+      grid_sample_adjoint_image, which guards and falls back).
     """
     B, Ho, Wo, C = ct.shape
     H, W = out_hw
@@ -375,6 +384,7 @@ def bilinear_splat(
     core = functools.partial(
         core_fn, Ho=Ho, Wo=Wo, H=H, W=W, WH=WH, Wp=Wp,
         pad_y=pad_y, nty=nty, ntx=ntx, mode_a=mode_a, interpret=interpret,
+        out_dtype=out_dtype or jnp.float32,
     )
     if n_chunks == 1:
         plane = core(tuple(a[0] for a in args))
@@ -384,7 +394,7 @@ def bilinear_splat(
 
 
 def _splat_core1(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
-                 interpret):
+                 interpret, out_dtype=jnp.float32):
     """C=1 core: channel-less windows (B, nty, WH, Wp) with the cotangent
     pre-folded into (a0, a1); same band placement/combine as the general
     core but with perfectly-tiled planar arrays."""
@@ -421,12 +431,12 @@ def _splat_core1(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
 
     return _combine_bands(
         windows, dy, H=H, W=W, WH=WH, Wp=Wp, nty=nty, pad_y=pad_y,
-        mode_a=mode_a,
+        mode_a=mode_a, out_dtype=out_dtype,
     )[..., None]
 
 
 def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
-                interpret):
+                interpret, out_dtype=jnp.float32):
     lyl, lx, a0, a1, c0, c1, ct, dy = args
     B, C = ct.shape[0], ct.shape[-1]
     f32 = jnp.float32
@@ -476,7 +486,7 @@ def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
 
     return _combine_bands(
         windows, dy, H=H, W=W, WH=WH, Wp=Wp, nty=nty, pad_y=pad_y,
-        mode_a=mode_a,
+        mode_a=mode_a, out_dtype=out_dtype,
     )
 
 
@@ -537,13 +547,18 @@ def _zeros_factors(img_hw, grid, align_corners=True):
 
 def grid_sample_adjoint_image(
     ct, img_hw, grid, padding_mode="border", align_corners=True,
-    window=(24, 0), interpret=False,
+    window=(24, 0), interpret=False, out_dtype=None,
 ):
     """d(grid_sample)/d(img)^T applied to ct, via the MXU splat kernel with
     a runtime in-window guard cascade (smallest window first — the kernel's
     MXU/VPU work scales with the window height, and typical warps fit the
     small one) falling back to the exact XLA scatter. All branches compute
-    the same values; the guard only picks speed."""
+    the same values; the guard only picks speed. `out_dtype` (None = f32)
+    sets the materialized plane dtype INSIDE each branch — callers that cast
+    the adjoint to the cotangent dtype anyway pass it here so the combine
+    canvas, the guard-switch result copy and the downstream sums all move
+    half the bytes."""
+    od = out_dtype or jnp.float32
     if padding_mode == "border":
         ly, lx, a0, a1, c0, c1 = _border_factors(img_hw, grid, align_corners)
     else:
@@ -582,11 +597,12 @@ def grid_sample_adjoint_image(
             ),
             dummy,
         )
-        return vjp(ct_.astype(jnp.float32))[0]
+        return vjp(ct_.astype(jnp.float32))[0].astype(od)
 
     branches = [
         (lambda ct_, g_, w=w: bilinear_splat(
             ct_, ly, lx, a0, a1, c0, c1, (H, W), w, interpret=interpret,
+            out_dtype=od,
         ))
         for w in uniq
     ] + [exact]
@@ -661,7 +677,8 @@ def _wff_bwd(padding_mode, gather_dtype, use_splat, interpret, res, ct):
     grid = _flow_to_grid(jnp.asarray(flow, jnp.float32), H, W)
     if use_splat:
         adj = grid_sample_adjoint_image(
-            ct, (H, W), grid, padding_mode=padding_mode, interpret=interpret
+            ct, (H, W), grid, padding_mode=padding_mode, interpret=interpret,
+            out_dtype=ct.dtype,
         )
     else:
         if padding_mode == "border":
@@ -672,12 +689,15 @@ def _wff_bwd(padding_mode, gather_dtype, use_splat, interpret, res, ct):
     return adj.astype(ct.dtype), jnp.zeros_like(flow)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6))
 def warp_frozen_flow_table(table, ids, flow, gather_dtype=None,
-                           use_splat=True, interpret=False):
+                           use_splat=True, interpret=False,
+                           patch_gather=False):
     """Indexed frozen-flow warp: N warps drawing from U unique source images
     (see sampling.grid_sample_table). Forward builds the 4-tap gather block
-    on the U uniques only; backward runs the MXU splat per USE and statically
+    on the U uniques only (`patch_gather` additionally serves each 2x2
+    output patch with ONE guarded 3x3-footprint row — 4x fewer gather rows);
+    backward runs the MXU splat per USE and statically
     sums each unique image's uses — replacing the batch-concat of repeated
     feature pyramids (and its backward split+add) that the plain
     warp_frozen_flow path would require (reference train.py:762-789: 3
@@ -690,22 +710,26 @@ def warp_frozen_flow_table(table, ids, flow, gather_dtype=None,
             table.shape[1], table.shape[2],
         ),
         gather_dtype=gather_dtype,
+        patch_gather=patch_gather,
     )
 
 
-def _wfft_fwd(table, ids, flow, gather_dtype, use_splat, interpret):
+def _wfft_fwd(table, ids, flow, gather_dtype, use_splat, interpret,
+              patch_gather):
     out = warp_frozen_flow_table(
-        table, ids, flow, gather_dtype, use_splat, interpret
+        table, ids, flow, gather_dtype, use_splat, interpret, patch_gather
     )
     return out, (flow, table.shape)
 
 
-def _wfft_bwd(ids, gather_dtype, use_splat, interpret, res, ct):
+def _wfft_bwd(ids, gather_dtype, use_splat, interpret, patch_gather, res, ct):
     flow, table_shape = res
     U, H, W, C = table_shape
     grid = _flow_to_grid(jnp.asarray(flow, jnp.float32), H, W)
     if use_splat:
-        adj = grid_sample_adjoint_image(ct, (H, W), grid, interpret=interpret)
+        adj = grid_sample_adjoint_image(
+            ct, (H, W), grid, interpret=interpret, out_dtype=ct.dtype
+        )
     else:
         f = _border_factors((H, W), grid)
         adj = _xla_splat(ct, *f, (H, W))
@@ -760,6 +784,7 @@ def _gsfg_bwd(padding_mode, window, use_splat, interpret, fast_forward,
         adj = grid_sample_adjoint_image(
             ct, (H, W), jnp.asarray(grid, jnp.float32),
             padding_mode=padding_mode, window=window, interpret=interpret,
+            out_dtype=ct.dtype,
         )
     else:
         if padding_mode == "border":

@@ -111,3 +111,48 @@ def test_fusion_module_table_path_matches_plain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
         )
+
+
+def test_patch_gather_matches_on_smooth_flow():
+    """The 2x2-patch 3x3-footprint gather picks the same taps and lerp order
+    as the per-pixel packed gather when flows satisfy the per-patch span
+    guard — equal up to XLA fusion-level FMA reassociation (bit-equal on
+    TPU; ~1-ulp on CPU)."""
+    table, ids, flow = _mk(H=16, W=64, C=16)
+    flow = flow * 0.3  # smooth, small: guard passes
+    grid = splat._flow_to_grid(flow, 16, 64)
+    a = sampling.grid_sample_table(table, ids, grid, patch_gather=True)
+    b = sampling.grid_sample_table(table, ids, grid, patch_gather=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                               rtol=1e-6)
+
+
+def test_patch_gather_guard_falls_back_on_wild_flow():
+    """Per-pixel random grids violate every patch's span budget — the guard
+    must route to the per-pixel path and values stay exact."""
+    table, ids, _ = _mk(H=16, W=64, C=16)
+    grid = jax.random.uniform(
+        jax.random.PRNGKey(7), (6, 16, 64, 2), minval=-1.0, maxval=1.0
+    )
+    a = sampling.grid_sample_table(table, ids, grid, patch_gather=True)
+    b = sampling.grid_sample_table(table, ids, grid, patch_gather=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                               rtol=1e-6)
+
+
+def test_patch_gather_grad_matches_plain():
+    """warp_frozen_flow_table with patch_gather: same custom-VJP backward,
+    bit-equal forward -> grads must match the plain path."""
+    table, ids, flow = _mk(H=16, W=64, C=16)
+    flow = flow * 0.3
+
+    def loss(t, pg):
+        o = splat.warp_frozen_flow_table(t, ids, flow, None, True, True, pg)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(lambda t: loss(t, True))(table)
+    g0 = jax.grad(lambda t: loss(t, False))(table)
+    # the splat backward quantizes ct to bf16; a 1-ulp f32 forward
+    # difference can flip a bf16 rounding boundary -> bf16-ulp tolerance
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=5e-3,
+                               rtol=8e-3)
