@@ -97,10 +97,15 @@ class MonoViFiStep:
         return "encoder"
 
     def _photometric(self, disp, tgt, src_n1, src_p1, T_n1, T_p1, K, invK, rng,
-                     mask_rec=None, smooth_dyn_mask=None, ident_reuse=None):
+                     mask_rec=None, smooth_dyn_mask=None, ident_reuse=None,
+                     return_automask=False):
         """Batched compute_losses_base (reference train.py:987-1051).
 
         All args stacked along batch; returns scalar mean over the stack.
+        With return_automask=True also returns the (B, H, W) automask — 1.0
+        where a reprojection (not identity) candidate won the per-pixel min
+        (reference train.py:1038-1040; the reference trainer ignores it, it
+        exists for visualization parity).
         """
         cfg = self.cfg
         disp = _f32(disp)
@@ -222,6 +227,11 @@ class MonoViFiStep:
             combined = reproj
 
         to_opt = jnp.min(combined, axis=0) if combined.shape[0] > 1 else combined[0]
+        automask = None
+        if return_automask and not cfg.disable_automasking and combined.shape[0] > 1:
+            # candidate index >= #identity-candidates means a reprojection won
+            n_ident = combined.shape[0] - reproj.shape[0]
+            automask = (jnp.argmin(combined, axis=0) >= n_ident).astype(jnp.float32)
         if mask_rec is not None:
             to_opt = to_opt * mask_rec[..., 0]
         loss = jnp.mean(to_opt)
@@ -237,6 +247,8 @@ class MonoViFiStep:
         else:
             smooth = L.smooth_loss_planar(norm_disp[..., 0], tgt_pl)
         loss = loss + cfg.disparity_smoothness * smooth
+        if return_automask:
+            return loss, automask
         return loss
 
     # ------------------------------------------------------------ the loss

@@ -116,6 +116,31 @@ def test_eval_forwards(setup):
     assert np.isfinite(np.asarray(disp_mf)).all()
 
 
+def test_photometric_automask(setup):
+    """return_automask parity (reference train.py:1038-1050): same loss,
+    plus a {0,1} mask marking pixels where a reprojection candidate won."""
+    cfg, bundle, tx, state, vfi_params = setup
+    step = MonoViFiStep(bundle, tx)
+    B, H, W = 2, cfg.height, cfg.width
+    batch = make_batch(B, H, W, use_affine=False)
+    disp = jnp.asarray(rand(B, H, W, 1, lo=0.01, hi=0.99))
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, 0, 3] = 0.1  # small x-translation
+    T = jnp.asarray(T)
+    args = (
+        disp, batch["color_0"], batch["color_n1"], batch["color_p1"],
+        T, T, batch["K"], batch["inv_K"], jax.random.PRNGKey(7),
+    )
+    loss = step._photometric(*args)
+    loss2, am = step._photometric(*args, return_automask=True)
+    assert np.allclose(float(loss), float(loss2))
+    am = np.asarray(am)
+    assert am.shape == (B, H, W)
+    assert set(np.unique(am)).issubset({0.0, 1.0})
+    # with distinct random sources both outcomes should occur somewhere
+    assert 0.0 < am.mean() < 1.0
+
+
 @pytest.mark.slow
 def test_train_step_num_scales_4():
     """A num_scales=4 config trains: the decoder emits 4 disp scales and the
