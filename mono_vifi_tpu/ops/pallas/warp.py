@@ -68,33 +68,51 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W, CG=1):
     ]
     lx_rel = [jnp.clip(lx - k * 128, 0, 127) for k in range(n_chunks)]
     lx1_rel = [jnp.clip(lx1 - k * 128, 0, 127) for k in range(n_chunks)]
-    is_y0 = [ly == r for r in range(WH)]
-    is_y1 = [ly == r - 1 for r in range(WH)]  # i.e. ly + 1 == r
+
+    # DYNAMIC row-group loop: this tile's taps live in window rows
+    # [min(ly), max(ly)+1], so only the 8-row-aligned groups covering that
+    # span are visited (fori_loop with data-dependent bounds; each group is
+    # an aligned (8, WW) ref load). Cost scales with the tile's ACTUAL
+    # vertical tap span instead of the static window height WH — typical
+    # warps touch 1-2 groups where the static scan paid WH rows, and a tall
+    # (exactness-friendly) window costs nothing extra.
+    g0 = jnp.min(ly) // TILE_H
+    g1 = (jnp.max(ly) + 1) // TILE_H + 1
 
     # CG channel planes share one program: the per-pixel index resolution
     # above is reused, and grid overhead (the dominant cost for small-C
     # image warps at ~2us/program) drops by CG
     for c in range(CG):
-        win = img_ref[0, c, pl.ds(oy, WH), pl.ds(ox, WW)]  # (WH, WW)
-        zero = jnp.zeros((TILE_H, TILE_W), win.dtype)
-        t00 = t01 = t10 = t11 = zero
-        # statically unrolled row loop (Mosaic cannot dynamic_slice values)
-        for r in range(WH):
-            row = win[r : r + 1, :]  # (1, WW), static slice
-            left = zero
-            right = zero
-            for k in range(n_chunks):
-                chunk = jnp.broadcast_to(
-                    row[:, k * 128 : (k + 1) * 128], (TILE_H, TILE_W)
-                )
-                gl = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
-                gr = jnp.take_along_axis(chunk, lx1_rel[k], axis=1)
-                left = jnp.where(in_chunk[k], gl, left)
-                right = jnp.where(in_chunk1[k], gr, right)
-            t00 = jnp.where(is_y0[r], left, t00)
-            t01 = jnp.where(is_y0[r], right, t01)
-            t10 = jnp.where(is_y1[r], left, t10)
-            t11 = jnp.where(is_y1[r], right, t11)
+        zero = jnp.zeros((TILE_H, TILE_W), img_ref.dtype)
+
+        def body(g, carry, c=c):
+            t00, t01, t10, t11 = carry
+            base = pl.multiple_of(oy + g * TILE_H, 8)
+            blk = img_ref[0, c, pl.ds(base, TILE_H), pl.ds(ox, WW)]
+            for i in range(TILE_H):
+                row = blk[i : i + 1, :]  # (1, WW), static slice
+                left = zero
+                right = zero
+                for k in range(n_chunks):
+                    chunk = jnp.broadcast_to(
+                        row[:, k * 128 : (k + 1) * 128], (TILE_H, TILE_W)
+                    )
+                    gl = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
+                    gr = jnp.take_along_axis(chunk, lx1_rel[k], axis=1)
+                    left = jnp.where(in_chunk[k], gl, left)
+                    right = jnp.where(in_chunk1[k], gr, right)
+                r = g * TILE_H + i
+                m0 = ly == r
+                m1 = ly == r - 1  # i.e. ly + 1 == r
+                t00 = jnp.where(m0, left, t00)
+                t01 = jnp.where(m0, right, t01)
+                t10 = jnp.where(m1, left, t10)
+                t11 = jnp.where(m1, right, t11)
+            return t00, t01, t10, t11
+
+        t00, t01, t10, t11 = jax.lax.fori_loop(
+            g0, g1, body, (zero, zero, zero, zero)
+        )
         od = out_ref.dtype
         out_ref[0, c, 0] = t00.astype(od)
         out_ref[0, c, 1] = t01.astype(od)
@@ -127,7 +145,9 @@ def grid_sample_windowed(
     _, Ho, Wo, _ = grid.shape
     WH, WW = window
     assert Ho % TILE_H == 0 and Wo % TILE_W == 0, (Ho, Wo)
-    assert H >= WH and W >= WW and WW % 128 == 0, (H, W, window)
+    assert H >= WH and W >= WW and WW % 128 == 0 and WH % 8 == 0, (
+        H, W, window,
+    )
 
     if align_corners:
         x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
@@ -243,18 +263,39 @@ def grid_sample_windowed_zeros(
     return out.transpose(0, 2, 3, 1).astype(img.dtype)
 
 
-def grid_sample_windowed_zeros_safe(
-    img, grid, window=((32, 384), (56, 384)), **kwargs
-):
+def _resolve_windows(img_shape, window):
+    """Normalize the window argument to an ordered list of (WH, WW).
+
+    None -> one FULL-HEIGHT window ((H//8)*8, 384): the kernel's dynamic
+    row-group loop makes its cost span-bound (not WH-bound), so the tallest
+    window is free — and when WH == H the window placement is fixed at 0 and
+    VERTICAL exactness is unconditional (only the horizontal span can still
+    force the exact-XLA fallback)."""
+    H, W = img_shape[1], img_shape[2]
+    if window is None:
+        windows = [((H // 8) * 8, 384)]
+    elif isinstance(window[0], int):
+        windows = [window]
+    else:
+        windows = list(window)
+    return [w for w in windows if H >= w[0] and W >= w[1]]
+
+
+def _window_fits(img_shape, w, span_y, span_x):
+    """Scalar predicate: do these tile spans fit window w? (WH >= H means
+    the window IS the plane — vertically exact for any taps.)"""
+    H = img_shape[1]
+    vok = jnp.asarray(True) if w[0] >= H else span_y <= w[0] - 9
+    return vok & (span_x <= w[1] - 129)
+
+
+def grid_sample_windowed_zeros_safe(img, grid, window=None, **kwargs):
     """Windowed zeros-mode sampling with the runtime span-guard cascade
-    (smallest window first; exact XLA zeros path as the final fallback)."""
+    (smallest window first; exact XLA zeros path as the final fallback).
+    window=None -> one full-height window (see _resolve_windows)."""
     from mono_vifi_tpu.ops import sampling
 
-    if isinstance(window[0], int):
-        windows = (window,)
-    else:
-        windows = tuple(window)
-    windows = [w for w in windows if img.shape[1] >= w[0] and img.shape[2] >= w[1]]
+    windows = _resolve_windows(img.shape, window)
 
     y0, x0 = _source_coords(img.shape, grid)
 
@@ -274,7 +315,7 @@ def grid_sample_windowed_zeros_safe(
     # one switch, windows ordered small->large (see grid_sample_windowed_safe)
     span_y, span_x = tile_span_max(y0, x0)
     idx = sum(
-        jnp.where((span_y <= w[0] - 9) & (span_x <= w[1] - 129), 0, 1).astype(
+        jnp.where(_window_fits(img.shape, w, span_y, span_x), 0, 1).astype(
             jnp.int32
         )
         for w in windows
@@ -334,7 +375,7 @@ def spans_ok(y0: jax.Array, x0: jax.Array, window=(56, 384)) -> jax.Array:
 def grid_sample_windowed_safe(
     img: jax.Array,
     grid: jax.Array,
-    window: tuple[int, int] | tuple[tuple[int, int], ...] = ((32, 384), (56, 384)),
+    window: tuple[int, int] | tuple[tuple[int, int], ...] | None = None,
     align_corners: bool = True,
     tap_dtype=None,
     interpret: bool = False,
@@ -342,21 +383,16 @@ def grid_sample_windowed_safe(
 ) -> jax.Array:
     """Windowed kernel with a runtime max-source-offset guard cascade.
 
-    `window` may be a single (WH, WW) or a tuple of windows tried smallest
-    first: the kernel's per-tile cost scales with WH (a static WH-row scan
-    per output tile), and real warps almost always fit the small window —
-    the taller one only catches rare wide-span tiles, and anything beyond
-    falls back to the exact XLA gather (possible early in training, when
-    random-init depth yields wild reprojection offsets). All paths match
-    torch grid_sample border/align_corners=True semantics, so the guard
-    choice never changes values — only speed."""
+    `window` may be None (default: ONE full-height window — the kernel's
+    dynamic row-group loop makes cost span-bound, so vertical exactness is
+    unconditional and only a horizontal tile span > WW-129 falls back to
+    the exact XLA gather), a single (WH, WW), or a tuple of windows tried
+    smallest first. All paths match torch grid_sample border/
+    align_corners=True semantics, so the guard choice never changes
+    values — only speed."""
     from mono_vifi_tpu.ops import sampling
 
-    if isinstance(window[0], int):
-        windows = (window,)
-    else:
-        windows = tuple(window)
-    windows = [w for w in windows if img.shape[1] >= w[0] and img.shape[2] >= w[1]]
+    windows = _resolve_windows(img.shape, window)
 
     y0, x0 = _source_coords(img.shape, grid, align_corners)
     B, H, W, C = img.shape
@@ -385,7 +421,7 @@ def grid_sample_windowed_safe(
     # reduction serves every predicate
     span_y, span_x = tile_span_max(y0, x0)
     idx = sum(
-        jnp.where((span_y <= w[0] - 9) & (span_x <= w[1] - 129), 0, 1).astype(
+        jnp.where(_window_fits(img.shape, w, span_y, span_x), 0, 1).astype(
             jnp.int32
         )
         for w in windows
