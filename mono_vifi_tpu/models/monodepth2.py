@@ -8,6 +8,7 @@ at the requested scales.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -73,11 +74,21 @@ class _NestedConvParams(nn.Module):
         )()
 
 
-def _s2d_kernel(w, b, f=2):
-    """(3, 3, cin, cout) full-res kernel -> (3, 3, f^2*cin, f^2*cout) block
-    kernel + tiled bias (phase-major channel order)."""
-    cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((3, 3, f * f * cin, f * f * cout), w.dtype)
+# The three block-kernel builders below are einsums against PRECOMPUTED
+# constant 0/1 scatter tensors: the scatter pattern (which full-res tap lands
+# in which block-kernel slot) is static, so building w2 costs ONE fused
+# 9-element contraction instead of a chain of up to 144 sequential
+# dynamic-update-slices executed (fwd + transposed bwd) every train step.
+# Values are bit-identical to the loop form (each slot sums exactly the taps
+# the loop wrote/added; multiplications are by 1.0).
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_scatter_const(f: int):
+    """M[BY, BX, q, p, ky, kx] = 1 iff full-res tap (ky, kx) of output phase
+    p=(py*f+px) reads input phase q=(qy*f+qx) of block offset (BY-1, BX-1)."""
+    M = _np.zeros((3, 3, f * f, f * f, 3, 3), _np.float32)
     for py in range(f):
         for px in range(f):
             for ky in range(3):
@@ -85,11 +96,50 @@ def _s2d_kernel(w, b, f=2):
                     u, v = py + ky - 1, px + kx - 1
                     by, qy = u // f, u % f
                     bx, qx = v // f, v % f
-                    ci = (qy * f + qx) * cin
-                    co = (py * f + px) * cout
-                    w2 = w2.at[
-                        by + 1, bx + 1, ci : ci + cin, co : co + cout
-                    ].set(w[ky, kx])
+                    M[by + 1, bx + 1, qy * f + qx, py * f + px, ky, kx] = 1
+    return M
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_scatter_const_up2():
+    """f=4 scatter with the input-phase axis COLLAPSED onto the f=2 source
+    phases of a nearest-x2 upsample (duplicate taps accumulate)."""
+    M = _np.zeros((3, 3, 4, 16, 3, 3), _np.float32)
+    for py in range(4):
+        for px in range(4):
+            for ky in range(3):
+                for kx in range(3):
+                    u, v = py + ky - 1, px + kx - 1
+                    by, qy = u // 4, u % 4
+                    bx, qx = v // 4, v % 4
+                    M[by + 1, bx + 1, (qy // 2) * 2 + (qx // 2),
+                      py * 4 + px, ky, kx] += 1
+    return M
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_scatter_const_plain2():
+    """f=2 scatter with NO input-phase axis: the upsample duplicates collapse
+    onto the plain half-res pixels themselves."""
+    M = _np.zeros((3, 3, 4, 3, 3), _np.float32)
+    for py in range(2):
+        for px in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    u, v = py + ky - 1, px + kx - 1
+                    by, bx = u // 2, v // 2
+                    M[by + 1, bx + 1, py * 2 + px, ky, kx] += 1
+    return M
+
+
+def _s2d_kernel(w, b, f=2):
+    """(3, 3, cin, cout) full-res kernel -> (3, 3, f^2*cin, f^2*cout) block
+    kernel + tiled bias (phase-major channel order)."""
+    cin, cout = w.shape[2], w.shape[3]
+    M = jnp.asarray(_s2d_scatter_const(f), w.dtype)
+    w2 = jnp.einsum("YXqpkx,kxio->YXqipo", M, w).reshape(
+        3, 3, f * f * cin, f * f * cout
+    )
     b2 = jnp.tile(b, f * f)
     return w2, b2
 
@@ -100,24 +150,14 @@ def _s2d_kernel_collapsed_up2(w, b):
     plane held in f=2 block form on the same f=4 block grid.
 
     The f=4 block conv would contract 16*cin input channels, but the
-    upsample duplicates each f=2 phase into 4 f=4 phases — summing the
-    duplicate entries into the kernel (`.add` below: several full-res taps
-    land on the same half-res source) gives the identical result at 1/4 the
+    upsample duplicates each f=2 phase into 4 f=4 phases — accumulating the
+    duplicate entries into the kernel gives the identical result at 1/4 the
     FLOPs, with no materialized upsample at all."""
     cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((3, 3, 4 * cin, 16 * cout), w.dtype)
-    for py in range(4):
-        for px in range(4):
-            for ky in range(3):
-                for kx in range(3):
-                    u, v = py + ky - 1, px + kx - 1
-                    by, qy = u // 4, u % 4
-                    bx, qx = v // 4, v % 4
-                    ci = ((qy // 2) * 2 + (qx // 2)) * cin
-                    co = (py * 4 + px) * cout
-                    w2 = w2.at[
-                        by + 1, bx + 1, ci : ci + cin, co : co + cout
-                    ].add(w[ky, kx])
+    M = jnp.asarray(_s2d_scatter_const_up2(), w.dtype)
+    w2 = jnp.einsum("YXqpkx,kxio->YXqipo", M, w).reshape(
+        3, 3, 4 * cin, 16 * cout
+    )
     b2 = jnp.tile(b, 16)
     return w2, b2
 
@@ -130,15 +170,8 @@ def _s2d_kernel_collapsed_plain2(w, b):
     full-res reflect pad reduces to an EDGE pad of the half-res plane
     (full-res row -1 reflects to row 1, whose half-res source is row 0)."""
     cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
-    for py in range(2):
-        for px in range(2):
-            for ky in range(3):
-                for kx in range(3):
-                    u, v = py + ky - 1, px + kx - 1
-                    by, bx = u // 2, v // 2
-                    co = (py * 2 + px) * cout
-                    w2 = w2.at[by + 1, bx + 1, :, co : co + cout].add(w[ky, kx])
+    M = jnp.asarray(_s2d_scatter_const_plain2(), w.dtype)
+    w2 = jnp.einsum("YXpkx,kxio->YXipo", M, w).reshape(3, 3, cin, 4 * cout)
     b2 = jnp.tile(b, 4)
     return w2, b2
 

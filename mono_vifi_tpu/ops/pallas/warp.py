@@ -145,9 +145,16 @@ def grid_sample_windowed(
     _, Ho, Wo, _ = grid.shape
     WH, WW = window
     assert Ho % TILE_H == 0 and Wo % TILE_W == 0, (Ho, Wo)
-    assert H >= WH and W >= WW and WW % 128 == 0 and WH % 8 == 0, (
-        H, W, window,
-    )
+    # (H - WH) % 8 == 0: the floor-8-aligned origin clamp must be able to
+    # reach H - WH exactly, else the bottom (H - WH) % 8 rows are
+    # unreachable and the span guard is unsound (see _resolve_windows)
+    assert (
+        H >= WH >= 8
+        and W >= WW
+        and WW % 128 == 0
+        and WH % 8 == 0
+        and (H - WH) % 8 == 0
+    ), (H, W, window)
 
     if align_corners:
         x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
@@ -266,19 +273,30 @@ def grid_sample_windowed_zeros(
 def _resolve_windows(img_shape, window):
     """Normalize the window argument to an ordered list of (WH, WW).
 
-    None -> one FULL-HEIGHT window ((H//8)*8, 384): the kernel's dynamic
-    row-group loop makes its cost span-bound (not WH-bound), so the tallest
-    window is free — and when WH == H the window placement is fixed at 0 and
-    VERTICAL exactness is unconditional (only the horizontal span can still
-    force the exact-XLA fallback)."""
+    None -> one FULL-HEIGHT window (H, 384) when H % 8 == 0: the kernel's
+    dynamic row-group loop makes its cost span-bound (not WH-bound), so the
+    tallest window is free — and when WH == H the window placement is fixed
+    at 0 and vertical exactness is unconditional (only the horizontal span
+    can still force the exact-XLA fallback).
+
+    EXACTNESS PRECONDITION: the kernel's window origin is clamped to H-WH
+    then floor-8-aligned, so when (H - WH) % 8 != 0 the bottom (H-WH) % 8
+    source rows are UNREACHABLE regardless of tile span. Since
+    H - WH ≡ H (mod 8) for any WH % 8 == 0, such windows only exist when
+    H % 8 == 0; any window violating the precondition (or with WH < 8) is
+    dropped here so the caller falls back to the exact XLA path."""
     H, W = img_shape[1], img_shape[2]
     if window is None:
-        windows = [((H // 8) * 8, 384)]
+        windows = [(H, 384)] if H % 8 == 0 else []
     elif isinstance(window[0], int):
         windows = [window]
     else:
         windows = list(window)
-    return [w for w in windows if H >= w[0] and W >= w[1]]
+    return [
+        w
+        for w in windows
+        if 8 <= w[0] <= H and W >= w[1] and (H - w[0]) % 8 == 0
+    ]
 
 
 def _window_fits(img_shape, w, span_y, span_x):
@@ -383,13 +401,14 @@ def grid_sample_windowed_safe(
 ) -> jax.Array:
     """Windowed kernel with a runtime max-source-offset guard cascade.
 
-    `window` may be None (default: ONE full-height window — the kernel's
-    dynamic row-group loop makes cost span-bound, so vertical exactness is
-    unconditional and only a horizontal tile span > WW-129 falls back to
-    the exact XLA gather), a single (WH, WW), or a tuple of windows tried
-    smallest first. All paths match torch grid_sample border/
-    align_corners=True semantics, so the guard choice never changes
-    values — only speed."""
+    `window` may be None (default: ONE full-height window when H % 8 == 0 —
+    the kernel's dynamic row-group loop makes cost span-bound, so vertical
+    exactness then holds for any taps and only a horizontal tile span >
+    WW-129 falls back to the exact XLA gather; H % 8 != 0 images always
+    take the exact path, see _resolve_windows), a single (WH, WW), or a
+    tuple of windows tried smallest first. All paths match torch
+    grid_sample border/align_corners=True semantics, so the guard choice
+    never changes values — only speed."""
     from mono_vifi_tpu.ops import sampling
 
     windows = _resolve_windows(img.shape, window)
@@ -440,15 +459,16 @@ def warp_windowed_safe(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
     return grid_sample_windowed_safe(img, jnp.stack([nx, ny], axis=-1), **kwargs)
 
 
-def windowed_ok(img_shape, grid_shape, window=(56, 384)) -> bool:
-    """Static predicate: can the windowed kernel serve this call?"""
+def windowed_ok(img_shape, grid_shape, window=None) -> bool:
+    """Static predicate: can the windowed kernel serve this call?
+
+    Mirrors _resolve_windows: True iff at least one requested window
+    survives resolution (which enforces WH % 8 == 0 via the
+    (H - WH) % 8 == 0 reachability precondition, WW % 128 == 0, and the
+    plane-fits checks) and the output tiling divides evenly."""
     B, H, W, C = img_shape
     _, Ho, Wo, _ = grid_shape
-    WH, WW = window
-    return (
-        Ho % TILE_H == 0
-        and Wo % TILE_W == 0
-        and H >= WH
-        and W >= WW
-        and WW % 128 == 0
-    )
+    if Ho % TILE_H != 0 or Wo % TILE_W != 0:
+        return False
+    windows = _resolve_windows(img_shape, window)
+    return any(w[1] % 128 == 0 and w[0] % 8 == 0 for w in windows)

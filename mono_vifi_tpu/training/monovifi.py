@@ -527,13 +527,21 @@ class MonoViFiStep:
                 jnp.concatenate([disp_0_fuse, disp_pt_fuse, disp_nt_fuse], 0)
             )
             mc3 = _tile(mask_cons, 3)
-            loss_dc = loss_dc + 3.0 * (
+            loss_sadc = 3.0 * (
                 L.si_log_depth_loss(restored, depth_fuse3o, mc3)
                 + L.si_log_depth_loss(restored, depth_single3o, mc3)
             )
+            loss_dc = loss_dc + loss_sadc
+        else:
+            loss_sadc = jnp.zeros(())
 
         loss = loss_base + cfg.lamda * loss_dc
-        metrics = {"loss": loss, "loss_base": loss_base, "loss_dc": loss_dc}
+        metrics = {
+            "loss": loss,
+            "loss_base": loss_base,
+            "loss_dc": loss_dc,
+            "loss_sadc": loss_sadc,
+        }
         return loss, (new_bstats, metrics)
 
     # ------------------------------------------------------------ train step

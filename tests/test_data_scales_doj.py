@@ -158,6 +158,83 @@ def test_smooth_loss_dyn_planar_zero_mask_reduces_to_plain():
     )
 
 
+def test_use_smooth_dyn_changes_trainer_loss_by_reference_formula():
+    """Behavioral check of the use_smooth_dyn wiring (monovifi.py): with a
+    NONZERO doj mask, the trainer's photometric loss must differ from the
+    plain-smoothness loss by exactly disparity_smoothness * (dyn - plain)
+    where dyn/plain are hand-computed in numpy from the reference formulas
+    (layers.py:231-242 get_smooth_loss, :244-258 get_smooth_loss_dyn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mono_vifi_tpu.config import Options
+    from mono_vifi_tpu.training.monovifi import MonoViFiStep
+
+    cfg = Options(
+        height=32, width=64, batch_size=2, use_affine=False,
+        compute_dtype="float32", use_smooth_dyn=True,
+    )
+
+    class _Bundle:  # _photometric only reads cfg, fast_warp, dtype
+        pass
+
+    b = _Bundle()
+    b.cfg = cfg
+    b.fast_warp = False
+    b.dtype = None
+    step = MonoViFiStep(b, tx=None)
+
+    rng = np.random.default_rng(11)
+    B, H, W = 2, cfg.height, cfg.width
+    disp = rng.random((B, H, W, 1)).astype(np.float32) * 0.9 + 0.05
+    tgt = rng.random((B, H, W, 3)).astype(np.float32)
+    src_n1 = rng.random((B, H, W, 3)).astype(np.float32)
+    src_p1 = rng.random((B, H, W, 3)).astype(np.float32)
+    mask = (rng.random((B, H, W)) > 0.6).astype(np.float32)
+    assert mask.sum() > 0
+    K = np.zeros((B, 4, 4), np.float32)
+    K[:, 0, 0], K[:, 1, 1] = 0.58 * W, 1.92 * H
+    K[:, 0, 2], K[:, 1, 2] = 0.5 * W, 0.5 * H
+    K[:, 2, 2] = K[:, 3, 3] = 1
+    invK = np.linalg.pinv(K).astype(np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, 0, 3] = 0.1
+
+    args = (
+        jnp.asarray(disp), jnp.asarray(tgt), jnp.asarray(src_n1),
+        jnp.asarray(src_p1), jnp.asarray(T), jnp.asarray(T),
+        jnp.asarray(K), jnp.asarray(invK), jax.random.PRNGKey(5),
+    )
+    loss_plain = float(step._photometric(*args))
+    loss_dyn = float(
+        step._photometric(*args, smooth_dyn_mask=jnp.asarray(mask))
+    )
+    assert loss_dyn != loss_plain  # the mask must actually change training
+
+    # ---- numpy hand-derivation of the two reference smoothness formulas
+    nd = disp[..., 0] / (disp[..., 0].mean(axis=(1, 2), keepdims=True) + 1e-7)
+    img = np.transpose(tgt, (0, 3, 1, 2))  # (B, C, H, W)
+
+    def grads(d, im):
+        gdx = np.abs(d[:, :, :-1] - d[:, :, 1:])
+        gdy = np.abs(d[:, :-1, :] - d[:, 1:, :])
+        gix = np.mean(np.abs(im[..., :, :-1] - im[..., :, 1:]), axis=1)
+        giy = np.mean(np.abs(im[..., :-1, :] - im[..., 1:, :]), axis=1)
+        return gdx * np.exp(-gix), gdy * np.exp(-giy)
+
+    sx, sy = grads(nd, img)
+    plain = sx.mean() + sy.mean()
+    # layers.py:248-258: M = 100*mask + (1-mask); img zeroed inside the mask
+    M = 100.0 * mask + (1.0 - mask)
+    sxd, syd = grads(nd, (1.0 - mask)[:, None] * img)
+    dyn = sxd.mean() + (syd * M[:, :-1, :]).mean()
+
+    expected_delta = cfg.disparity_smoothness * (dyn - plain)
+    np.testing.assert_allclose(
+        loss_dyn - loss_plain, expected_delta, rtol=1e-4, atol=1e-7
+    )
+
+
 def test_affine_window_matches_full_chain(kitti_dir):
     """The windowed affine evaluation (resize(box=) + rotate(center=) on a
     padded window) must reproduce the reference chain

@@ -89,6 +89,33 @@ def test_windowed_ok_predicate():
     assert not pwarp.windowed_ok((1, 64, 256, 3), (1, 64, 200, 2))  # Wo % 128
     assert not pwarp.windowed_ok((1, 32, 256, 3), (1, 64, 256, 2))  # H < WH
     assert pwarp.windowed_ok((1, 192, 640, 3), (1, 192, 640, 2))
+    # (H - WH) % 8 != 0 windows are unsound (origin clamp can't reach the
+    # bottom rows) and must be dropped by resolution / rejected statically
+    assert not pwarp.windowed_ok((1, 68, 640, 3), (1, 64, 640, 2))  # H%8
+    assert not pwarp.windowed_ok(
+        (1, 64, 640, 3), (1, 64, 640, 2), window=(52, 384)
+    )
+    assert pwarp._resolve_windows((1, 68, 640, 3), None) == []
+    assert pwarp._resolve_windows((1, 6, 640, 3), None) == []  # H < 8
+
+
+def test_h_not_multiple_of_8_takes_exact_path():
+    """ADVICE r3 medium: H=68 previously passed the span guard yet returned
+    errors up to 0.97 (bottom H%8 rows unreachable after the floor-8 origin
+    clamp). The safe entry point must now route such shapes to the exact
+    gather."""
+    B, H, W, C = 1, 68, 640, 2
+    img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
+    # taps concentrated at the BOTTOM rows — the previously-broken region
+    ys, xs = np.meshgrid(np.arange(64), np.arange(W), indexing="ij")
+    gx = xs / (W - 1) * 2 - 1
+    gy = ((ys + 4) / (H - 1) * 2 - 1).clip(-1, 1)
+    grid = jnp.asarray(
+        np.stack([gx, gy], -1)[None].astype(np.float32)
+    )
+    exact = sampling.grid_sample(img, grid, "border", True)
+    safe = pwarp.grid_sample_windowed_safe(img, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(safe), np.asarray(exact), atol=1e-6)
 
 
 def test_windowed_zeros_matches_exact_rotation():
