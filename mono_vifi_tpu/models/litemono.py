@@ -287,13 +287,22 @@ class DepthEncoder(nn.Module):
 
 class DepthDecoder(nn.Module):
     """3-stage bilinear U-Net decoder (reference LiteMono.DepthDecoder
-    :447-505); disp heads get an extra bilinear x2 so scale 0 is full-res."""
+    :447-505); disp heads get an extra bilinear x2 so scale 0 is full-res.
+
+    With `s2d_full_res` (default) the level-0 stage — the decoder's worst
+    TPU layouts: 24-channel half-res convs plus a C=1 half-res disp head —
+    is evaluated in SPACE-TO-DEPTH block form on the 1/4-res grid (exact
+    rearrangement of the same parameters, see models/monodepth2.py notes):
+    the bilinear x2 upsample becomes shifted FMAs emitting f=2 phase-major
+    blocks, the two 3x3 reflect convs become 96-channel block convs, and
+    the final disp x2 upsample is a constant (3, 3, 4, 16) block kernel."""
 
     num_ch_enc: Sequence[int] = (48, 80, 128)
     scales: Sequence[int] = (0,)
     num_output_channels: int = 1
     use_skips: bool = True
     dtype: jnp.dtype | None = None
+    s2d_full_res: bool = True
 
     @nn.compact
     def __call__(self, input_features):
@@ -302,6 +311,9 @@ class DepthDecoder(nn.Module):
         x = input_features[-1]
         for i in range(2, -1, -1):
             x = ConvBlock(num_ch_dec[i], self.dtype, name=f"upconv_{i}_0")(x)
+            if i == 0 and self.s2d_full_res:
+                self._s2d_tail(x, num_ch_dec[0], outputs)
+                break
             x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
@@ -313,3 +325,34 @@ class DepthDecoder(nn.Module):
                 f = resize_bilinear(f, (f.shape[1] * 2, f.shape[2] * 2))
                 outputs[i] = nn.sigmoid(f)
         return outputs
+
+    def _s2d_tail(self, x, c0, outputs):
+        """Level 0 on the 1/4-res block grid: x arrives as upconv_0_0's
+        output at 1/4 res (c0 channels); every op below is an exact
+        rearrangement of the plain path's bilinear-up + convs."""
+        from mono_vifi_tpu.models.monodepth2 import (
+            _NestedConvParams,
+            _block_conv,
+            _depth_to_space,
+            _s2d_conv3x3,
+            _s2d_reflect_pad,
+            _up2_blocks_bilinear,
+            _up2_f4_kernel_const,
+        )
+
+        noc = self.num_output_channels
+        dt = self.dtype
+        xs = _up2_blocks_bilinear(x)  # f=2 blocks of the half-res plane
+        kw, kb = _NestedConvParams((3, 3, c0, c0), c0, 2, name="upconv_0_1")()
+        xs = nn.elu(_s2d_conv3x3(xs, kw, kb, c0, dt, f=2))
+        if 0 in self.scales:
+            dw, db = _NestedConvParams(
+                (3, 3, c0, noc), noc, 1, name="dispconv_0"
+            )()
+            d = _s2d_conv3x3(xs, dw, db, c0, dt, f=2)  # (B, Hb, Wb, 4*noc)
+            dp = _s2d_reflect_pad(d, noc, 2, top_src=0, bot_src=1)
+            up_k = jnp.asarray(_up2_f4_kernel_const(noc), dp.dtype)
+            d4 = _block_conv(dp, up_k, jnp.zeros((16 * noc,), dp.dtype), dt)
+            outputs[0] = _depth_to_space(
+                nn.sigmoid(d4).astype(jnp.float32), noc, 4
+            )

@@ -176,6 +176,56 @@ def _s2d_kernel_collapsed_plain2(w, b):
     return w2, b2
 
 
+def _up2_blocks_bilinear(x):
+    """(B, Hb, Wb, C) -> (B, Hb, Wb, 4C): f=2 phase-major blocks of the
+    bilinear x2 upsample (torch align_corners=False semantics, exactly
+    ops.image.resize_bilinear's weights incl. the src >= 0 clamp, which the
+    edge pad reproduces: 0.25*edge + 0.75*row0 == row0).
+
+    Per axis: out row 2i = 0.25*in[i-1] + 0.75*in[i]; out row 2i+1 =
+    0.75*in[i] + 0.25*in[i+1]. Evaluated as shifted fused multiply-adds on
+    the half-res grid — no materialized upsample, no C-minor layout tax."""
+    xv = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    y0 = 0.25 * xv[:, :-2] + 0.75 * xv[:, 1:-1]
+    y1 = 0.75 * xv[:, 1:-1] + 0.25 * xv[:, 2:]
+
+    def hphases(y):
+        yh = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+        return (
+            0.25 * yh[:, :, :-2] + 0.75 * yh[:, :, 1:-1],
+            0.75 * yh[:, :, 1:-1] + 0.25 * yh[:, :, 2:],
+        )
+
+    p00, p01 = hphases(y0)
+    p10, p11 = hphases(y1)
+    return jnp.concatenate([p00, p01, p10, p11], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_f4_kernel_const(c: int = 1):
+    """(3, 3, 4c, 16c) constant block kernel: f=2 blocks of a half-res plane
+    -> f=4 blocks of its bilinear x2 upsample (align_corners=False), on the
+    same quarter-res block grid. Input must be edge-padded with
+    _s2d_reflect_pad(..., f=2, top_src=0, bot_src=1) (the up-clamp's
+    boundary sources, same geometry as the collapsed nearest-up kernel)."""
+    # per-axis: full-res phase φ of block I reads (block offset, f=2 phase,
+    # weight); derived from src = (R + 0.5)/2 - 0.5 with R = 4I + φ
+    taps = {
+        0: ((-1, 1, 0.25), (0, 0, 0.75)),
+        1: ((0, 0, 0.75), (0, 1, 0.25)),
+        2: ((0, 0, 0.25), (0, 1, 0.75)),
+        3: ((0, 1, 0.75), (1, 0, 0.25)),
+    }
+    M = _np.zeros((3, 3, 4, 16, c, c), _np.float32)
+    eye = _np.eye(c, dtype=_np.float32)
+    for fy in range(4):
+        for fx in range(4):
+            for by, qy, wy in taps[fy]:
+                for bx, qx, wx in taps[fx]:
+                    M[by + 1, bx + 1, qy * 2 + qx, fy * 4 + fx] += wy * wx * eye
+    return M.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * c, 16 * c)
+
+
 def _s2d_reflect_pad(xs, c, f=2, top_src=None, bot_src=None):
     """One-original-pixel reflect pad in block space: edge blocks with the
     needed phases selected from the adjacent interior block (unused phases

@@ -50,10 +50,18 @@ def render_view(K, cam_center, H, W, a=10.0, b=0.25):
     return img, depth.astype(np.float32)
 
 
-def make_scene_batch(B, H, W, baseline=0.35):
+def make_scene_batch(B, H, W, baseline=0.35, affine=False, affine_seed=11):
     """Batch dict for the fused train step: 3 consistent frames + K, with
     per-sample camera offsets. Camera moves along +X by `baseline` per
     frame (frame -1 at -baseline, frame +1 at +baseline).
+
+    With `affine=True` the batch additionally carries the affine-branch keys
+    (color_affine_*, Rc, ratio_local, angle, box, valid masks), produced by
+    the SAME parameter math and PIL resize/rotate/crop chain as the real
+    data pipeline (mono_vifi_tpu.data.mono_dataset, reference
+    datasets/mono_dataset.py:96-162) applied to the rendered frames — so the
+    SADC/affine-photometric losses see exactly the geometry the trainer
+    assumes (reference train.py:814-922).
 
     Returns (batch, depth0 (B, H, W)) — the true frame-0 depth."""
     K = np.zeros((4, 4), np.float32)
@@ -77,7 +85,50 @@ def make_scene_batch(B, H, W, baseline=0.35):
         arr = np.stack(lst)
         batch[f"color_{name}"] = arr
         batch[f"color_aug_{name}"] = arr.copy()
+    if affine:
+        batch.update(
+            _affine_keys(colors, B, H, W, batch["K"], batch["inv_K"],
+                         seed=affine_seed)
+        )
     return batch, np.stack(depths)
+
+
+def _affine_keys(colors, B, H, W, K, invK, seed):
+    """Affine-branch keys via the production dataset machinery: per-sample
+    params from MonoDataset._affine_params and images/masks from the exact
+    windowed PIL chain (_affine_window/_affine_masks)."""
+    from PIL import Image
+
+    from mono_vifi_tpu.data.augment import to_array
+    from mono_vifi_tpu.data.mono_dataset import MonoDataset
+
+    ds = MonoDataset("", [], H, W, use_affine=True, is_train=True, seed=seed)
+    out = {
+        k: []
+        for k in (
+            "color_affine_n1", "color_affine_0", "color_affine_p1",
+            "color_affine_aug_0", "Rc", "ratio_local", "angle", "box",
+            "valid_mask_rec", "valid_mask_cons",
+        )
+    }
+    for i in range(B):
+        p = ds._affine_params(ds._rng(i), K[i], invK[i])
+        for name in ("n1", "0", "p1"):
+            pil = Image.fromarray(
+                np.clip(colors[name][i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            )
+            aff = to_array(ds._affine_window(pil, p))
+            out[f"color_affine_{name}"].append(aff)
+            if name == "0":
+                out["color_affine_aug_0"].append(aff.copy())
+        mask_rec, mask_cons = ds._affine_masks(p)
+        out["valid_mask_rec"].append(mask_rec)
+        out["valid_mask_cons"].append(mask_cons)
+        out["Rc"].append(p["Rc"])
+        out["ratio_local"].append(np.array([p["ratio"]], np.float32))
+        out["angle"].append(np.float32(p["angle"]))
+        out["box"].append(p["box"])
+    return {k: np.stack(v) for k, v in out.items()}
 
 
 def median_scaled_abs_rel(pred_depth, gt_depth):

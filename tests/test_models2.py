@@ -46,6 +46,27 @@ def test_litemono_parity():
     np.testing.assert_allclose(np.asarray(disp[0]), to_np_nhwc(tdisp[0]), atol=3e-4)
 
 
+def test_litemono_s2d_tail_matches_plain():
+    """The level-0 space-to-depth tail (block-form bilinear up + block convs
+    + constant up-kernel disp head) is an exact rearrangement of the plain
+    decoder path on the SAME params."""
+    feats = [
+        jnp.asarray(rand(2, h, w, c))
+        for (h, w, c) in ((24, 40, 48), (12, 20, 80), (6, 10, 128))
+    ]
+    plain = litemono.DepthDecoder(
+        num_ch_enc=(48, 80, 128), scales=(0,), s2d_full_res=False
+    )
+    variables = plain.init(jax.random.PRNGKey(3), feats)
+    s2d = litemono.DepthDecoder(num_ch_enc=(48, 80, 128), scales=(0,))
+    d_plain = plain.apply(variables, feats)[0]
+    d_s2d = s2d.apply(variables, feats)[0]
+    assert d_s2d.shape == d_plain.shape == (2, 96, 160, 1)
+    np.testing.assert_allclose(
+        np.asarray(d_s2d), np.asarray(d_plain), atol=2e-6
+    )
+
+
 def test_dhrnet_parity():
     torch.manual_seed(1)
     tenc = tm2.HRNet18T().eval()

@@ -36,6 +36,52 @@ def test_vfi_train_step():
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
+def test_vfi_training_converges_on_synthetic_triplets():
+    """train_vfi optimization dynamics (reference train_vfi.py:176-210): a
+    tiny IFRNet on analytic linear-motion triplets (translating camera over
+    the textured plane, tests/synthetic_scene.py — frame t=0.5 IS the
+    geometric middle) must drive the Charbonnier+census+geometry loss DOWN
+    and the middle-frame PSNR UP over ~60 steps. Guards that the VFI loss
+    stack is minimizable, not merely finite."""
+    from tests.synthetic_scene import render_view
+
+    H, W, B = 64, 96, 2
+    K = np.zeros((3, 3), np.float32)
+    K[0, 0], K[1, 1] = 0.9 * W, 1.7 * H
+    K[0, 2], K[1, 2] = 0.5 * W, 0.5 * H
+    K[2, 2] = 1.0
+    frames = {0.0: [], 0.5: [], 1.0: []}
+    for i in range(B):
+        ybase = 0.4 * i
+        for t in frames:
+            img, _ = render_view(K, (0.7 * t, ybase, 0.0), H, W)
+            frames[t].append(img)
+    batch = {
+        "img0": jnp.asarray(np.stack(frames[0.0])),
+        "img1": jnp.asarray(np.stack(frames[0.5])),
+        "img2": jnp.asarray(np.stack(frames[1.0])),
+        "embt": jnp.full((B,), 0.5, jnp.float32),
+    }
+
+    cfg = Options(height=H, width=W, batch_size=B, vfi_scale="tiny",
+                  compute_dtype="float32", lr_sche_type="cos",
+                  learning_rate=3e-4, eta_min=1e-5)
+    module, tx, state = create_vfi_state(cfg, jax.random.PRNGKey(0), 100)
+    step = jax.jit(make_vfi_train_step(module, tx), donate_argnums=0)
+
+    losses, psnrs = [], []
+    for _ in range(60):
+        state, metrics, _ = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        psnrs.append(float(metrics["psnr"]))
+    k = 6
+    first_l, last_l = sum(losses[:k]) / k, sum(losses[-k:]) / k
+    first_p, last_p = sum(psnrs[:k]) / k, sum(psnrs[-k:]) / k
+    assert last_l < 0.7 * first_l, (first_l, last_l)
+    assert last_p > first_p + 1.0, (first_p, last_p)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = Options(height=64, width=96, batch_size=1, compute_dtype="float32")
     bundle, tx, state = monovifi.create_train_state(cfg, jax.random.PRNGKey(0), 10)

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(steps=120, H=96, W=320, B=2, fast_warp=True, compute_dtype="bfloat16",
-        lr=2e-4, seed=0, log_every=0):
+        lr=2e-4, seed=0, log_every=0, use_affine=False,
+        fuse_model_type="shared_all"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,8 +36,9 @@ def run(steps=120, H=96, W=320, B=2, fast_warp=True, compute_dtype="bfloat16",
     from tests.synthetic_scene import make_scene_batch, median_scaled_abs_rel
 
     cfg = Options(
-        height=H, width=W, batch_size=B, use_affine=False,
+        height=H, width=W, batch_size=B, use_affine=use_affine,
         compute_dtype=compute_dtype, fast_warp=fast_warp,
+        fuse_model_type=fuse_model_type,
         vfi_train_scale="tiny", vfi_test_scale="tiny",
         learning_rate=lr, lr_sche_type="step", decay_step=(10**6,),
         weights_init="scratch",
@@ -45,7 +47,7 @@ def run(steps=120, H=96, W=320, B=2, fast_warp=True, compute_dtype="bfloat16",
         cfg, jax.random.PRNGKey(seed), steps_per_epoch=max(steps, 1)
     )
     vfi_params = bundle.init_vfi(jax.random.PRNGKey(1), "train")
-    np_batch, gt_depth = make_scene_batch(B, H, W)
+    np_batch, gt_depth = make_scene_batch(B, H, W, affine=use_affine)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
 
     step_fn = jax.jit(MonoViFiStep(bundle, tx).make_train_step(), donate_argnums=0)
@@ -60,25 +62,33 @@ def run(steps=120, H=96, W=320, B=2, fast_warp=True, compute_dtype="bfloat16",
 
     rng = jax.random.PRNGKey(seed + 7)
     losses = []
+    sadc = []
     err0 = depth_err(state)
     for i in range(steps):
         state, metrics = step_fn(
             state, vfi_params, batch, jax.random.fold_in(rng, i)
         )
         losses.append(float(metrics["loss_base"]))
+        if use_affine:
+            sadc.append(float(metrics["loss_sadc"]))
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i+1}: loss_base {losses[-1]:.4f}", file=sys.stderr)
     err1 = depth_err(state)
     k = max(len(losses) // 10, 1)
-    return {
+    out = {
         "steps": steps,
         "fast_warp": fast_warp,
         "compute_dtype": compute_dtype,
+        "use_affine": use_affine,
         "loss_first10": round(float(sum(losses[:k]) / k), 5),
         "loss_last10": round(float(sum(losses[-k:]) / k), 5),
         "abs_rel_initial": round(err0, 4),
         "abs_rel_final": round(err1, 4),
     }
+    if use_affine:
+        out["sadc_first10"] = round(float(sum(sadc[:k]) / k), 5)
+        out["sadc_last10"] = round(float(sum(sadc[-k:]) / k), 5)
+    return out
 
 
 def main():
@@ -89,6 +99,7 @@ def main():
     ap.add_argument("--no-fast-warp", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--affine", action="store_true")
     ap.add_argument("--log-every", type=int, default=25)
     args = ap.parse_args()
     if args.cpu:
@@ -99,7 +110,7 @@ def main():
     out = run(
         steps=args.steps, H=H, W=W, B=args.batch,
         fast_warp=not args.no_fast_warp, compute_dtype=args.dtype,
-        log_every=args.log_every,
+        log_every=args.log_every, use_affine=args.affine,
     )
     print(json.dumps({"metric": "convergence_smoke", **out}))
 
