@@ -146,8 +146,13 @@ class FusionModule(nn.Module):
         # embedding pyramid (0*x can't fold through NaN semantics)
         zero_flow = jnp.zeros_like(flow_0_n1)
         emb_0 = self._embedding_pyramid(zero_flow)
-        emb_n1 = self._embedding_pyramid(flow_0_n1)
-        emb_p1 = self._embedding_pyramid(flow_0_p1)
+        # both neighbors' embedding pyramids in ONE batched pass (identical
+        # per-sample values; halves the op count of the resize+sin chains)
+        emb_np = self._embedding_pyramid(
+            jnp.concatenate([flow_0_n1, flow_0_p1], 0)
+        )
+        emb_n1 = [e[:B] for e in emb_np]
+        emb_p1 = [e[B:] for e in emb_np]
 
         fused = []
         for i in range(levels):

@@ -106,6 +106,12 @@ class IFRNet(nn.Module):
       imgt is None:  + {"imgt_pred"}
       imgt given:    + {"imgt_pred", "loss"} (VFI training losses)
     Flows are (B, H, W, 2) pixel displacements; mask is (B, H, W, 1).
+
+    `n_full`: flow pyramid for ALL B pairs but image synthesis (the
+    expensive full-res warps + merge) only for the FIRST n_full — lets the
+    trainer batch its synthesis pairs and onlyFlow pair through ONE pass
+    (reference train.py:715-718 makes 2 separate module calls);
+    "imgt_pred" then has leading dim n_full.
     """
 
     scale: str = "large"
@@ -113,7 +119,8 @@ class IFRNet(nn.Module):
     fast_warp: bool = False  # windowed Pallas kernel for full-res img warps
 
     @nn.compact
-    def __call__(self, img0, img1, embt, imgt=None, only_flow: bool = False):
+    def __call__(self, img0, img1, embt, imgt=None, only_flow: bool = False,
+                 n_full: int | None = None):
         B, H, W, _ = img0.shape
         channels = _PYRAMID_CHANNELS[self.scale]
         side = _SIDE_CHANNELS[self.scale]
@@ -187,25 +194,39 @@ class IFRNet(nn.Module):
         if only_flow:
             return {"flow0": flow0_full, "flow1": flow1_full, "mask": mask_full}
 
+        if n_full is not None and n_full < B:
+            assert imgt is None, "n_full is a frozen-inference fast path"
+            img0 = img0[:n_full]
+            img1 = img1[:n_full]
+            mean_ = mean_[:n_full]
+            img0_warp_flow = flow0_full[:n_full]
+            img1_warp_flow = flow1_full[:n_full]
+            merge_mask = mask_full[:n_full]
+        else:
+            img0_warp_flow = flow0_full
+            img1_warp_flow = flow1_full
+            merge_mask = mask_full
+
+        Bw = img0.shape[0]
         if self.fast_warp:
             from mono_vifi_tpu.ops.pallas.warp import warp_windowed_safe, windowed_ok
 
-            if windowed_ok(img0.shape, (B, H, W, 2)):
+            if windowed_ok(img0.shape, (Bw, H, W, 2)):
                 # both frame warps in ONE kernel launch (one span guard, one
                 # grid) — same taps, half the per-call overhead
                 w2 = warp_windowed_safe(
                     jnp.concatenate([img0, img1], 0),
-                    jnp.concatenate([flow0_full, flow1_full], 0),
+                    jnp.concatenate([img0_warp_flow, img1_warp_flow], 0),
                     tap_dtype=self.dtype,
                 )
-                img0_warp, img1_warp = w2[:B], w2[B:]
+                img0_warp, img1_warp = w2[:Bw], w2[Bw:]
             else:
-                img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
-                img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)
+                img0_warp = warp(img0, img0_warp_flow, gather_dtype=self.dtype)
+                img1_warp = warp(img1, img1_warp_flow, gather_dtype=self.dtype)
         else:
-            img0_warp = warp(img0, flow0_full, gather_dtype=self.dtype)
-            img1_warp = warp(img1, flow1_full, gather_dtype=self.dtype)
-        imgt_merge = mask_full * img0_warp + (1 - mask_full) * img1_warp
+            img0_warp = warp(img0, img0_warp_flow, gather_dtype=self.dtype)
+            img1_warp = warp(img1, img1_warp_flow, gather_dtype=self.dtype)
+        imgt_merge = merge_mask * img0_warp + (1 - merge_mask) * img1_warp
         imgt_pred = jnp.clip(imgt_merge + mean_, 0.0, 1.0)
 
         out = {

@@ -332,10 +332,10 @@ class DepthDecoder(nn.Module):
         rearrangement of the plain path's bilinear-up + convs."""
         from mono_vifi_tpu.models.monodepth2 import (
             _NestedConvParams,
-            _block_conv,
             _depth_to_space,
+            _edge_strips_s2d,
+            _padfree_conv,
             _s2d_conv3x3,
-            _s2d_reflect_pad,
             _up2_blocks_bilinear,
             _up2_f4_kernel_const,
         )
@@ -350,9 +350,11 @@ class DepthDecoder(nn.Module):
                 (3, 3, c0, noc), noc, 1, name="dispconv_0"
             )()
             d = _s2d_conv3x3(xs, dw, db, c0, dt, f=2)  # (B, Hb, Wb, 4*noc)
-            dp = _s2d_reflect_pad(d, noc, 2, top_src=0, bot_src=1)
-            up_k = jnp.asarray(_up2_f4_kernel_const(noc), dp.dtype)
-            d4 = _block_conv(dp, up_k, jnp.zeros((16 * noc,), dp.dtype), dt)
+            up_k = jnp.asarray(_up2_f4_kernel_const(noc), d.dtype)
+            d4 = _padfree_conv(
+                d, up_k, jnp.zeros((16 * noc,), d.dtype), dt,
+                _edge_strips_s2d(d, noc, 2, top_src=0, bot_src=1),
+            )
             outputs[0] = _depth_to_space(
                 nn.sigmoid(d4).astype(jnp.float32), noc, 4
             )

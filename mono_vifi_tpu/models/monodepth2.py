@@ -279,11 +279,98 @@ def _block_conv(xp, w2, b2, dtype):
     return y + b2.astype(cd)
 
 
-def _s2d_conv3x3(xs, w, b, cin, dtype, f=2):
-    """Reflect-padded full-res 3x3 conv evaluated in block space."""
+def _edge_strips_s2d(xs, c, f=2, top_src=None, bot_src=None):
+    """The 1-block-wide ring of the virtual _s2d_reflect_pad, as THIN
+    tensors: (top_ext, bot_ext, left, right) with top/bot (B, 1, Wb+2, FC)
+    including their corners and left/right (B, Hb, 1, FC) spanning only the
+    interior rows (their corners live in top/bot — no double count).
+    Same phase-selection rules as _s2d_reflect_pad."""
+    if top_src is None:
+        top_src = 1
+    if bot_src is None:
+        bot_src = f - 2
+    B, Hb, Wb, FC = xs.shape
+    g = f * c
+    zg = jnp.zeros((B, 1, Wb, (f - 1) * g), xs.dtype)
+    top = jnp.concatenate(
+        [zg, xs[:, :1, :, top_src * g : (top_src + 1) * g]], axis=-1
+    )
+    bot = jnp.concatenate(
+        [xs[:, -1:, :, bot_src * g : (bot_src + 1) * g], zg], axis=-1
+    )
+
+    def xsel(strip, H1):
+        zc = jnp.zeros((B, H1, 1, f, (f - 1) * c), xs.dtype)
+        s = strip[:, :, :1].reshape(B, H1, 1, f, f, c)
+        left = jnp.concatenate([zc, s[..., top_src, :]], axis=-1).reshape(
+            B, H1, 1, FC
+        )
+        e = strip[:, :, -1:].reshape(B, H1, 1, f, f, c)
+        right = jnp.concatenate([e[..., bot_src, :], zc], axis=-1).reshape(
+            B, H1, 1, FC
+        )
+        return left, right
+
+    tl, tr = xsel(top, 1)
+    bl, br = xsel(bot, 1)
+    top_ext = jnp.concatenate([tl, top, tr], axis=2)
+    bot_ext = jnp.concatenate([bl, bot, br], axis=2)
+    left, right = xsel(xs, Hb)
+    return top_ext, bot_ext, left, right
+
+
+def _edge_strips_edgepad(x):
+    """Ring strips of a 1-pixel EDGE pad of a plain tensor (the half-res
+    plane consumed by the collapsed plain-x2 kernel)."""
+    top = x[:, :1]
+    bot = x[:, -1:]
+    top_ext = jnp.concatenate([top[:, :, :1], top, top[:, :, -1:]], axis=2)
+    bot_ext = jnp.concatenate([bot[:, :, :1], bot, bot[:, :, -1:]], axis=2)
+    return top_ext, bot_ext, x[:, :, :1], x[:, :, -1:]
+
+
+def _padfree_conv(xs, w2, b2, dtype, strips):
+    """conv(virtual_pad(xs), w2) WITHOUT materializing the padded tensor:
+    a zero-padded conv (padding folds into the conv op — no copy) plus four
+    THIN boundary-correction convs over the ring strips, added back as
+    pad-fused adds. The materialized (B, Hb+2, Wb+2, FC) pad copies (and
+    their slice+add backward) were the S2D decoder tail's dominant
+    non-conv cost (~hundreds of MB/step of pure layout traffic)."""
+    top_ext, bot_ext, left, right = strips
+    cd = dtype or xs.dtype
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(x, k, padding="VALID"):
+        return jax.lax.conv_general_dilated(
+            x.astype(cd), k.astype(cd), window_strides=(1, 1),
+            padding=padding, dimension_numbers=dn,
+        )
+
+    y = conv(xs, w2, padding=((1, 1), (1, 1)))
+    B, Ho, Wo, O = y.shape
+    ct = conv(top_ext, w2[0:1])  # kernel row 0 -> output row 0
+    cb = conv(bot_ext, w2[2:3])  # kernel row 2 -> output row Ho-1
+    zl = jnp.zeros_like(left[:, :1])
+    cl = conv(jnp.concatenate([zl, left, zl], 1), w2[:, 0:1])
+    zr = jnp.zeros_like(right[:, :1])
+    cr = conv(jnp.concatenate([zr, right, zr], 1), w2[:, 2:3])
+    return (
+        y
+        + b2.astype(cd)
+        + jnp.pad(ct, ((0, 0), (0, Ho - 1), (0, 0), (0, 0)))
+        + jnp.pad(cb, ((0, 0), (Ho - 1, 0), (0, 0), (0, 0)))
+        + jnp.pad(cl, ((0, 0), (0, 0), (0, Wo - 1), (0, 0)))
+        + jnp.pad(cr, ((0, 0), (0, 0), (Wo - 1, 0), (0, 0)))
+    )
+
+
+def _s2d_conv3x3(xs, w, b, cin, dtype, f=2, top_src=None, bot_src=None):
+    """Reflect-padded full-res 3x3 conv evaluated in block space (pad-free
+    boundary-correction form)."""
     w2, b2 = _s2d_kernel(w, b, f)
-    xp = _s2d_reflect_pad(xs, cin, f)
-    return _block_conv(xp, w2, b2, dtype)
+    return _padfree_conv(
+        xs, w2, b2, dtype, _edge_strips_s2d(xs, cin, f, top_src, bot_src)
+    )
 
 
 def _depth_to_space(xs, c, f=2):
@@ -369,14 +456,16 @@ class DepthDecoder(nn.Module):
         # x-part: the nearest-x2 upsample collapses onto x itself (no tile,
         # no block pad — just an edge pad of the half-res plane)
         wx2, bx2 = _s2d_kernel_collapsed_plain2(kw[:, :, :c1], kb)
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-        y = _block_conv(xp, wx2, bx2, dt)
+        y = _padfree_conv(x, wx2, bx2, dt, _edge_strips_edgepad(x))
         if self.use_skips:
             skip = input_features[0]
             cs = skip.shape[-1]
             ws2, _ = _s2d_kernel(kw[:, :, c1:], jnp.zeros_like(kb), 2)
-            sp = _s2d_reflect_pad(_space_to_depth(skip, 2), cs, 2)
-            y = y + _block_conv(sp, ws2, jnp.zeros((4 * c1,), kb.dtype), dt)
+            sb = _space_to_depth(skip, 2)
+            y = y + _padfree_conv(
+                sb, ws2, jnp.zeros((4 * c1,), kb.dtype), dt,
+                _edge_strips_s2d(sb, cs, 2),
+            )
         x = nn.elu(y)  # f=2 blocks, c1/phase
         if 1 in self.scales:
             dw, db = _NestedConvParams((3, 3, c1, noc), noc, 1, name="dispconv_1")()
@@ -391,8 +480,9 @@ class DepthDecoder(nn.Module):
         # full-res row/col +-1 selects the half-res SOURCE phases (0, f-1)
         kw, kb = _NestedConvParams((3, 3, c0, c0), c0, 2, name="upconv_0_1")()
         w2, b2 = _s2d_kernel_collapsed_up2(kw, kb)
-        xp = _s2d_reflect_pad(x, c0, 2, top_src=0, bot_src=1)
-        x = nn.elu(_block_conv(xp, w2, b2, dt))  # f=4, c0/phase
+        x = nn.elu(_padfree_conv(
+            x, w2, b2, dt, _edge_strips_s2d(x, c0, 2, top_src=0, bot_src=1)
+        ))  # f=4, c0/phase
         dw, db = _NestedConvParams((3, 3, c0, noc), noc, 1, name="dispconv_0")()
         d = nn.sigmoid(_s2d_conv3x3(x, dw, db, c0, dt, f=4))
         outputs[0] = _depth_to_space(d.astype(jnp.float32), noc, 4)

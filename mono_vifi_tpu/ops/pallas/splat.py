@@ -19,10 +19,10 @@ Accumulation design (TPU-critical, learned the hard way on v5e):
   * Explicit HBM read-modify-write windows per tile: ~4 ms/program. Dead.
   * A VMEM-resident full adjoint plane as a revisited output block: ~100 ms
     per block lifecycle + minutes of Mosaic compile. Dead.
-  * What works: each 8-row band of output pixels writes a (WH, Wp, C)
+  * What works: each BAND_H-row band of output pixels writes a (WH, Wp, C)
     window to its OWN small output block (per-program changing index — the
     only pattern that streams at bandwidth) at the REGULAR origin
-    (8*ty + dy_b - pad_y, 0): the window spans the FULL padded plane width
+    (BAND_H*ty + dy_b - pad_y, 0): the window spans the FULL padded plane width
     (Wp <= ~1024 for every training resolution), so horizontal placement
     is static and border-clamped columns cost nothing; vertically the
     origin is tile-regular except one per-image shift dy_b (the rounded
@@ -38,7 +38,10 @@ replacing train.py:888-922) lives OUTSIDE the kernel in the separable
 EXACTNESS: exact (up to bf16 rounding of the tap weights and the bf16
 window values) whenever every tap's window-local row lands inside its
 band's window: residual vertical displacement after the per-image shift in
-[-pad_y, WH-9-pad_y] (pad_y=(WH-10)//2); columns are never a constraint.
+[-pad_y, WH-1-BAND_H-pad_y] (pad_y=(WH-BAND_H-2)//2; window heights are
+requested on a BAND_H=8 budget basis, see the BAND_H note below, so the
+budget is unchanged from the original 8-row design); columns are never a
+constraint.
 Planes whose padded height fits the window (mode A) are exact for ANY
 taps. `_prepare` checks this per call and callers fall back to the XLA
 scatter path (lax.cond) otherwise.
@@ -56,6 +59,15 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 8
 TILE_W = 128
 PCHUNK = 1024  # pixels per column-chunk inside a row-band program
+BAND_H = 8  # output rows per band program (must be a multiple of 8)
+# Window heights are specified by callers as a RESIDUAL-BUDGET basis (the
+# BAND_H=8 convention this kernel was designed with); _window_for adds
+# BAND_H - 8 so the in-window residual-displacement budget is independent of
+# the band height. MEASURED (v5e full train step, r4 bisect): BAND_H=16
+# LOSES ~0.7 samples/s despite halving the window write/read redundancy and
+# program count — the +8 window rows per band add more MXU row visits and
+# scratch than the traffic saves. Keep 8; the generalized band machinery
+# stays for re-evaluation at other shapes.
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,11 +76,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _splat_band_kernel(rr_ref, lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref,
                        c1_ref, v_ref, win_ref, acc_ref, *, WH, Wp, ntx):
-    """One program = one 8-row band of output pixels -> its (WH, Wp, C)
-    window. The band's pixels are tile-major: p = tx*1024 + row*128 + col.
-    Loops over the band's ntx column-chunks, accumulating the full-width
-    window rows in VMEM scratch; columns need no windowing because the
-    window spans the whole (padded) plane width.
+    """One program = one BAND_H-row band of output pixels -> its (WH, Wp, C)
+    window. The band's pixels are tile-major (see _band_flatten); ntx is the
+    number of PCHUNK-pixel chunks per band. Loops over the band's chunks,
+    accumulating the full-width window rows in VMEM scratch; columns need no
+    windowing because the window spans the whole (padded) plane width.
 
     rr_ref (scalar prefetch, (B, nty, 2) i32): this band's [min, max] local
     tap row — window rows outside [rmin, rmax+1] hold no taps, and their
@@ -188,52 +200,67 @@ def _splat_band_kernel1(lyl_ref, lx_ref, a0_ref, a1_ref, c0_ref, c1_ref,
 
 
 def _band_flatten(x: jax.Array, Ho: int, Wo: int, mode: str = "constant"):
-    """(B, Ho, Wo, ...) -> (B, nty, 1, 8*Wp, ...) row-band flattening with
-    tile-major pixel order p = tx*1024 + row*128 + col (so column chunks are
-    contiguous). Pads Ho/Wo to the 8/128 grid (zeros for weights/values,
-    edge replication for indices)."""
+    """(B, Ho, Wo, ...) -> (B, ntb, 1, BAND_H*Wp, ...) row-band flattening
+    with tile-major pixel order p = tx*(BAND_H*128) + row*128 + col (so
+    column chunks are contiguous). Pads Ho/Wo to the BAND_H/128 grid (zeros
+    for weights/values, edge replication for indices)."""
     B = x.shape[0]
-    Hp, Wp = _round_up(Ho, TILE_H), _round_up(Wo, TILE_W)
+    Hp, Wp = _round_up(Ho, BAND_H), _round_up(Wo, TILE_W)
     pads = [(0, 0), (0, Hp - Ho), (0, Wp - Wo)] + [(0, 0)] * (x.ndim - 3)
     x = jnp.pad(x, pads, mode=mode)
-    nty, ntx = Hp // TILE_H, Wp // TILE_W
+    ntb, ntx = Hp // BAND_H, Wp // TILE_W
     trailing = x.shape[3:]
-    x = x.reshape((B, nty, TILE_H, ntx, TILE_W) + trailing)
-    x = jnp.moveaxis(x, 3, 2)  # (B, nty, ntx, 8, 128, ...)
-    return x.reshape((B, nty, 1, ntx * TILE_H * TILE_W) + trailing)
+    x = x.reshape((B, ntb, BAND_H, ntx, TILE_W) + trailing)
+    x = jnp.moveaxis(x, 3, 2)  # (B, ntb, ntx, BAND_H, 128, ...)
+    return x.reshape((B, ntb, 1, ntx * BAND_H * TILE_W) + trailing)
 
 
 def _combine_bands(windows, dy, *, H, W, WH, Wp, nty, pad_y, mode_a,
                    out_dtype=jnp.float32):
     """Overlap-add the regularly-placed band windows into the adjoint plane.
 
-    `windows` is (B, nty, WH, Wp, ...trailing) — the same logic serves the
+    `windows` is (B, ntb, WH, Wp, ...trailing) — the same logic serves the
     channelled and channel-less (C=1) kernels. Mode A: all bands at origin
     0 -> plain sum. Mode B: window-row chunk i of band t lands on canvas
-    band t+i (chunk size == band stride == 8), so the overlap-add is a sum
-    of band-padded chunk arrays — one fused XLA add-tree, NOT a sequential
-    .at[].add chain (which copies the whole canvas per chunk; measured ~4x
-    slower) — and the per-image vertical shift dy is undone by one row
-    gather (byte-bound, cheap). Sums run in f32; `out_dtype` sets the
-    MATERIALIZED canvas/plane dtype — the training wrappers pass the
-    cotangent dtype (bf16), halving the canvas write + row-gather traffic
-    for a result that was about to be cast to ct.dtype anyway."""
+    8-row band S*t + i (S = BAND_H//8 is the band stride in canvas-band
+    units), so the overlap-add is a sum of band-padded chunk arrays — one
+    fused XLA add-tree per stride residue, NOT a sequential .at[].add chain
+    (which copies the whole canvas per chunk; measured ~4x slower) — and
+    the per-image vertical shift dy is undone by one row gather
+    (byte-bound, cheap). Sums run in f32; `out_dtype` sets the MATERIALIZED
+    canvas/plane dtype — the training wrappers pass the cotangent dtype
+    (bf16), halving the canvas write + row-gather traffic for a result that
+    was about to be cast to ct.dtype anyway."""
     f32 = jnp.float32
     B = windows.shape[0]
+    ntb = windows.shape[1]
     trailing = windows.shape[4:]
     if mode_a:
         plane = jnp.sum(windows.astype(f32), axis=1).astype(out_dtype)
         return plane[:, :H, :W]
 
     K = WH // 8
-    canvasH = 8 * (nty + K - 1)
-    chunks = windows.reshape((B, nty, K, 8, Wp) + trailing)
-    acc = None
-    for i in range(K):
-        pads = [(0, 0), (i, K - 1 - i)] + [(0, 0)] * (chunks.ndim - 3)
-        blk = jnp.pad(chunks[:, :, i].astype(f32), pads)
-        acc = blk if acc is None else acc + blk
-    canvas = acc.astype(out_dtype).reshape((B, canvasH, Wp) + trailing)
+    S = BAND_H // 8
+    chunks = windows.reshape((B, ntb, K, 8, Wp) + trailing)
+    # canvas band S*t + i == strided index (t + i//S, residue i % S): group
+    # chunks by residue so each group's placement is a plain pad along t
+    L = ntb + (K - 1) // S  # strided length (uniform across residues)
+    canvasH = 8 * S * L
+    per_res = []
+    for r in range(S):
+        acc = None
+        for i in range(r, K, S):
+            o = i // S
+            pads = [(0, 0), (o, L - ntb - o)] + [(0, 0)] * (chunks.ndim - 3)
+            blk = jnp.pad(chunks[:, :, i].astype(f32), pads)
+            acc = blk if acc is None else acc + blk
+        if acc is None:
+            acc = jnp.zeros((B, L, 8, Wp) + trailing, f32)
+        per_res.append(acc.astype(out_dtype))
+    # interleave residues: canvas band index S*g + r
+    canvas = jnp.stack(per_res, axis=2).reshape(
+        (B, canvasH, Wp) + trailing
+    )
 
     rows = jnp.arange(H)[None, :] - dy[:, None] + pad_y  # (B, H)
     valid = (rows >= 0) & (rows < canvasH)
@@ -249,37 +276,48 @@ def _mode_a(out_hw, window) -> bool:
     """Full vertical coverage: window spans the whole padded plane height,
     origin 0 for every band -> exact for ANY taps (no budget, no shift)."""
     H, _ = out_hw
-    Hpad = _round_up(max(H, TILE_H), TILE_H)
-    return Hpad <= _round_up(window[0], 8)
+    Hpad = _round_up(max(H, BAND_H), BAND_H)
+    return Hpad <= _window_for(out_hw, window)[0]
 
 
 def _window_for(out_hw, window):
+    """Resolved (WH, Wp). window[0] is the BAND_H=8-basis budget height;
+    BAND_H - 8 is added so the residual-displacement budget is band-height
+    independent (see module constants)."""
     H, W = out_hw
-    Hpad = _round_up(max(H, TILE_H), TILE_H)
+    Hpad = _round_up(max(H, BAND_H), BAND_H)
     Wp = _round_up(max(W, TILE_W), TILE_W)
-    WH = min(_round_up(window[0], 8), Hpad)
+    WH = min(_round_up(window[0], 8) + (BAND_H - 8), Hpad)
     return WH, Wp
+
+
+def _pad_y_for(WH: int) -> int:
+    """Budget placement: in-band row offset spans BAND_H rows, taps need 2,
+    the rest is split between upward (pad_y) and downward slack. Equals the
+    historical (WH - 10) // 2 at BAND_H == 8."""
+    return (WH - BAND_H - 2) // 2
 
 
 def _prepare(ly, lx, out_hw, window):
     """Window-local row indices + per-image vertical shift + exactness flag.
 
     Mode A (plane fits the window vertically): lyl = ly, always exact.
-    Mode B: lyl = ly - (8*(qy//8) + dy - pad_y) with dy the per-image
-    rounded mean vertical displacement; exact iff all lyl in [0, WH-2]
-    (columns never constrain: the window spans the full plane width).
+    Mode B: lyl = ly - (BAND_H*(qy//BAND_H) + dy - pad_y) with dy the
+    per-image rounded mean vertical displacement; exact iff all lyl in
+    [0, WH-2] (columns never constrain: the window spans the full plane
+    width).
     """
     B, Ho, Wo = ly.shape
     WH, _ = _window_for(out_hw, window)
     if _mode_a(out_hw, window):
         return ly, jnp.zeros((B,), jnp.int32), jnp.asarray(True)
-    pad_y = (WH - 10) // 2
+    pad_y = _pad_y_for(WH)
     qy = jax.lax.broadcasted_iota(jnp.int32, (Ho, Wo), 0)[None]
     disp_y = ly - qy
     dy = jnp.round(jnp.mean(disp_y.astype(jnp.float32), axis=(1, 2))).astype(
         jnp.int32
     )
-    lyl = ly - (8 * (qy // 8) + dy[:, None, None] - pad_y)
+    lyl = ly - (BAND_H * (qy // BAND_H) + dy[:, None, None] - pad_y)
     ok = jnp.all((lyl >= 0) & (lyl <= WH - 2))
     return lyl, dy, ok
 
@@ -331,7 +369,7 @@ def bilinear_splat(
     H, W = out_hw
     WH, Wp = _window_for(out_hw, window)
     mode_a = _mode_a(out_hw, window)
-    pad_y = 0 if mode_a else (WH - 10) // 2
+    pad_y = 0 if mode_a else _pad_y_for(WH)
 
     lyl, dy, _ = _prepare(
         jnp.clip(ly, 0, max(H - 2, 0)).astype(jnp.int32),
@@ -341,8 +379,9 @@ def bilinear_splat(
     )
     lyl = jnp.clip(lyl, 0, WH - 2)
     lxc = jnp.clip(lx, 0, max(W - 2, 0)).astype(jnp.int32)
-    nty = _round_up(Ho, TILE_H) // TILE_H
-    ntx = _round_up(Wo, TILE_W) // TILE_W
+    ntb = _round_up(Ho, BAND_H) // BAND_H
+    ncol = _round_up(Wo, TILE_W) // TILE_W
+    nchunks = ncol * BAND_H * TILE_W // PCHUNK  # PCHUNK chunks per band
 
     f32 = jnp.float32
     if C == 1:
@@ -359,7 +398,7 @@ def bilinear_splat(
     # unbalanced last chunk would zero-pad up to chunk-1 images of pure
     # wasted kernel work). `max_chunk_bytes` exists for tests to force the
     # chunked path at small shapes.
-    win_bytes = nty * WH * Wp * max(C, 1) * 2
+    win_bytes = ntb * WH * Wp * max(C, 1) * 2
     chunk = max(1, min(B, max_chunk_bytes // max(win_bytes, 1)))
     n_chunks = -(-B // chunk)
     chunk = -(-B // n_chunks)  # balance chunks: no padded-image waste
@@ -383,8 +422,8 @@ def bilinear_splat(
     core_fn = _splat_core1 if C == 1 else _splat_core
     core = functools.partial(
         core_fn, Ho=Ho, Wo=Wo, H=H, W=W, WH=WH, Wp=Wp,
-        pad_y=pad_y, nty=nty, ntx=ntx, mode_a=mode_a, interpret=interpret,
-        out_dtype=out_dtype or jnp.float32,
+        pad_y=pad_y, nty=ntb, ntx=nchunks, mode_a=mode_a,
+        interpret=interpret, out_dtype=out_dtype or jnp.float32,
     )
     if n_chunks == 1:
         plane = core(tuple(a[0] for a in args))
@@ -409,7 +448,7 @@ def _splat_core1(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
     c0t = _band_flatten(c0, Ho, Wo)
     c1t = _band_flatten(c1, Ho, Wo)
 
-    Pband = ntx * TILE_H * TILE_W
+    Pband = ntx * PCHUNK
     vec_spec = pl.BlockSpec(
         (1, 1, 1, Pband), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -447,7 +486,7 @@ def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
     a1t = _band_flatten(a1, Ho, Wo)
     c0t = _band_flatten(c0, Ho, Wo)
     c1t = _band_flatten(c1, Ho, Wo)
-    vt = _band_flatten(ct, Ho, Wo).reshape(B, nty, ntx * TILE_H * TILE_W, C)
+    vt = _band_flatten(ct, Ho, Wo).reshape(B, nty, ntx * PCHUNK, C)
 
     # per-band local tap-row range (edge-padded pixels carry zero weights,
     # so including them only widens the range — never wrong)
@@ -455,7 +494,7 @@ def _splat_core(args, *, Ho, Wo, H, W, WH, Wp, pad_y, nty, ntx, mode_a,
         [jnp.min(lylt, axis=(2, 3)), jnp.max(lylt, axis=(2, 3))], axis=-1
     ).astype(jnp.int32)
 
-    Pband = ntx * TILE_H * TILE_W
+    Pband = ntx * PCHUNK
     vec_spec = pl.BlockSpec(
         (1, 1, 1, Pband), lambda b, t, s: (b, t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -617,14 +656,14 @@ def grid_sample_adjoint_image(
     dy = jnp.round(
         jnp.mean((lyc - qy).astype(jnp.float32), axis=(1, 2))
     ).astype(jnp.int32)
-    resid = lyc - (8 * (qy // 8) + dy[:, None, None])
+    resid = lyc - (BAND_H * (qy // BAND_H) + dy[:, None, None])
     rmin, rmax = jnp.min(resid), jnp.max(resid)
     idx = jnp.zeros((), jnp.int32)
     for w in uniq:
         if _mode_a((H, W), w):
             continue  # always fits
         WH = _window_for((H, W), w)[0]
-        pad_y = (WH - 10) // 2
+        pad_y = _pad_y_for(WH)
         ok = (rmin >= -pad_y) & (rmax <= WH - 2 - pad_y)
         idx = idx + jnp.where(ok, 0, 1).astype(jnp.int32)
     return jax.lax.switch(idx, branches, ct, grid)

@@ -42,10 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
+PACK_BF16_TAPS = True  # u32 pair-packed bf16 tap kernel (see _windowed_taps4)
 
 
-def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W, CG=1):
-    y0 = y0_ref[0]  # (8, 128) int32, clamped to [0, H-2]
+def _auto_tile_h(Ho: int) -> int:
+    """Output-tile height. MEASURED (v5e, 120x(192,640,3) photometric-shape
+    warp): 8 rows 39.0 ms, 16 rows 43.0, 32 rows 57.9 — taller tiles LOSE
+    because every visited source row runs its gather/selects over the whole
+    (tile_h, 128) tile while rows-visited only shrinks ~(span+8)/span, so
+    per-element VPU work grows ~linearly with tile height. Per-program
+    dispatch (~2 us x 14k programs) is NOT the binding cost. Fixed at 8;
+    the plumbing stays for experimentation."""
+    return TILE_H
+
+
+def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W,
+                      CG=1, TH=TILE_H):
+    y0 = y0_ref[0]  # (TH, 128) int32, clamped to [0, H-2]
     x0 = x0_ref[0]
 
     # window origin aligned to VMEM tiling (8 sublanes / 128 lanes) so the
@@ -75,33 +88,36 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W, CG=1):
     # an aligned (8, WW) ref load). Cost scales with the tile's ACTUAL
     # vertical tap span instead of the static window height WH — typical
     # warps touch 1-2 groups where the static scan paid WH rows, and a tall
-    # (exactness-friendly) window costs nothing extra.
-    g0 = jnp.min(ly) // TILE_H
-    g1 = (jnp.max(ly) + 1) // TILE_H + 1
+    # (exactness-friendly) window costs nothing extra. The group granule
+    # stays 8 (the VMEM sublane tile) independent of the output tile height
+    # TH, so taller tiles change neither the rows visited per span nor the
+    # per-element select work — only the fixed per-program overhead.
+    g0 = jnp.min(ly) // 8
+    g1 = (jnp.max(ly) + 1) // 8 + 1
 
     # CG channel planes share one program: the per-pixel index resolution
     # above is reused, and grid overhead (the dominant cost for small-C
     # image warps at ~2us/program) drops by CG
     for c in range(CG):
-        zero = jnp.zeros((TILE_H, TILE_W), img_ref.dtype)
+        zero = jnp.zeros((TH, TILE_W), img_ref.dtype)
 
         def body(g, carry, c=c):
             t00, t01, t10, t11 = carry
-            base = pl.multiple_of(oy + g * TILE_H, 8)
-            blk = img_ref[0, c, pl.ds(base, TILE_H), pl.ds(ox, WW)]
-            for i in range(TILE_H):
+            base = pl.multiple_of(oy + g * 8, 8)
+            blk = img_ref[0, c, pl.ds(base, 8), pl.ds(ox, WW)]
+            for i in range(8):
                 row = blk[i : i + 1, :]  # (1, WW), static slice
                 left = zero
                 right = zero
                 for k in range(n_chunks):
                     chunk = jnp.broadcast_to(
-                        row[:, k * 128 : (k + 1) * 128], (TILE_H, TILE_W)
+                        row[:, k * 128 : (k + 1) * 128], (TH, TILE_W)
                     )
                     gl = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
                     gr = jnp.take_along_axis(chunk, lx1_rel[k], axis=1)
                     left = jnp.where(in_chunk[k], gl, left)
                     right = jnp.where(in_chunk1[k], gr, right)
-                r = g * TILE_H + i
+                r = g * 8 + i
                 m0 = ly == r
                 m1 = ly == r - 1  # i.e. ly + 1 == r
                 t00 = jnp.where(m0, left, t00)
@@ -120,9 +136,99 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W, CG=1):
         out_ref[0, c, 3] = t11.astype(od)
 
 
+def _warp_taps_kernel_packed(y0_ref, x0_ref, img_ref, out_ref, comb_ref, *,
+                             WH, WW, H, W, CG=1, TH=TILE_H):
+    """bf16 PAIR-PACKED variant: img_ref holds u32 lanes
+    P[y, x] = bits16(img[y, x]) | bits16(img[y, x+1]) << 16, so ONE gather
+    fetches both horizontal taps and ONE select resolves each chunk —
+    ~45% less dynamic-gather/select work than the unpacked kernel (the
+    binding cost of the warp at training shapes). Outputs the 2 packed row
+    taps (t0 = row ly pair, t1 = row ly+1 pair) as i32; the caller unpacks
+    via bit shifts (bf16 bits << 16 IS the f32 bit pattern), which XLA
+    fuses into the bilinear combine."""
+    y0 = y0_ref[0]  # (TH, 128) int32, clamped to [0, H-2]
+    x0 = x0_ref[0]
+
+    oy = (jnp.clip(jnp.min(y0), 0, max(H - WH, 0)) // 8) * 8
+    ox = (jnp.clip(jnp.min(x0), 0, max(W - WW, 0)) // 128) * 128
+    oy = pl.multiple_of(oy, 8)
+    ox = pl.multiple_of(ox, 128)
+
+    ly = jnp.clip(y0 - oy, 0, WH - 2)
+    lx = jnp.clip(x0 - ox, 0, WW - 2)
+
+    n_chunks = WW // 128
+    in_chunk = [
+        jnp.logical_and(lx >= k * 128, lx < (k + 1) * 128) for k in range(n_chunks)
+    ]
+    lx_rel = [jnp.clip(lx - k * 128, 0, 127) for k in range(n_chunks)]
+    # per-tile chunk usage (scalar): a 128-wide tile's taps span <= 2-3
+    # adjacent chunks after the 128-aligned ox, so typically one of the
+    # window's chunks holds NO taps — skip its gather+select wholesale
+    use = [jnp.any(in_chunk[k]) for k in range(n_chunks)]
+
+    g0 = jnp.min(ly) // 8
+    g1 = (jnp.max(ly) + 1) // 8 + 1
+
+    for c in range(CG):
+        zero = jnp.zeros((TH, TILE_W), jnp.int32)
+
+        def body(g, carry, c=c):
+            t0, t1 = carry
+            base = pl.multiple_of(oy + g * 8, 8)
+            blk = img_ref[0, c, pl.ds(base, 8), pl.ds(ox, WW)]
+            for i in range(8):
+                row = blk[i : i + 1, :]  # (1, WW) i32
+                comb_ref[...] = zero
+                for k in range(n_chunks):
+
+                    @pl.when(use[k])
+                    def _chunk(k=k, row=row):
+                        chunk = jnp.broadcast_to(
+                            row[:, k * 128 : (k + 1) * 128], (TH, TILE_W)
+                        )
+                        g_k = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
+                        comb_ref[...] = jnp.where(
+                            in_chunk[k], g_k, comb_ref[...]
+                        )
+
+                comb = comb_ref[...]
+                r = g * 8 + i
+                t0 = jnp.where(ly == r, comb, t0)
+                t1 = jnp.where(ly == r - 1, comb, t1)
+            return t0, t1
+
+        t0, t1 = jax.lax.fori_loop(g0, g1, body, (zero, zero))
+        out_ref[0, c, 0] = t0
+        out_ref[0, c, 1] = t1
+
+
+def _pack_pairs_u32(img: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, C, H, W) uint32 with each lane holding the bf16
+    bit pairs (img[y, x], img[y, x+1]); column W-1 pairs with itself (never
+    gathered: lx <= W-2)."""
+    u = jax.lax.bitcast_convert_type(
+        img.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    right = jnp.concatenate([u[:, :, 1:], u[:, :, -1:]], axis=2)
+    return (u | (right << 16)).transpose(0, 3, 1, 2)
+
+
+def _unpack_pair(t: jax.Array):
+    """i32/u32 packed pair -> (left, right) f32 (bf16 bits << 16 == f32)."""
+    t = t.astype(jnp.uint32)
+    left = jax.lax.bitcast_convert_type(t << 16, jnp.float32)
+    right = jax.lax.bitcast_convert_type(
+        t & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return left, right
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "align_corners", "interpret", "tap_dtype", "planar"),
+    static_argnames=(
+        "window", "align_corners", "interpret", "tap_dtype", "planar", "tile_h"
+    ),
 )
 def grid_sample_windowed(
     img: jax.Array,
@@ -132,19 +238,22 @@ def grid_sample_windowed(
     interpret: bool = False,
     tap_dtype=None,
     planar: bool = False,
+    tile_h: int | None = None,
 ) -> jax.Array:
     """Bilinear border-padded sampling via the windowed Pallas kernel.
 
     Requires Ho % 8 == 0, Wo % 128 == 0, H >= window[0], W >= window[1].
     `planar=True` returns (B, C, Ho, Wo) — the kernel's native channel-planar
     tap layout — skipping the NHWC transpose for consumers (the photometric
-    losses) that operate planar anyway.
+    losses) that operate planar anyway. `tile_h` (None = auto) sets the
+    output-tile height; span guards must use the same value.
     See module docstring for the exactness contract.
     """
     B, H, W, C = img.shape
     _, Ho, Wo, _ = grid.shape
     WH, WW = window
-    assert Ho % TILE_H == 0 and Wo % TILE_W == 0, (Ho, Wo)
+    tile_h = tile_h or _auto_tile_h(Ho)
+    assert Ho % tile_h == 0 and Wo % TILE_W == 0, (Ho, Wo, tile_h)
     # (H - WH) % 8 == 0: the floor-8-aligned origin clamp must be able to
     # reach H - WH exactly, else the bottom (H - WH) % 8 rows are
     # unreachable and the span guard is unsound (see _resolve_windows)
@@ -172,13 +281,13 @@ def grid_sample_windowed(
     x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
     y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
 
-    taps = _windowed_taps(
-        img, y0, x0, window=window, tap_dtype=tap_dtype, interpret=interpret
+    t00, t01, t10, t11 = _windowed_taps4(
+        img, y0, x0, window=window, tap_dtype=tap_dtype, interpret=interpret,
+        tile_h=tile_h,
     )
 
     wxc = wx[..., 0][:, None]  # (B, 1, Ho, Wo)
     wyc = wy[..., 0][:, None]
-    t00, t01, t10, t11 = (taps[:, :, k] for k in range(4))
     top = (1.0 - wxc) * t00 + wxc * t01
     bot = (1.0 - wxc) * t10 + wxc * t11
     out_chw = (1.0 - wyc) * top + wyc * bot
@@ -187,50 +296,86 @@ def grid_sample_windowed(
     return out_chw.transpose(0, 2, 3, 1).astype(img.dtype)
 
 
-def _windowed_taps(img, y0, x0, window, tap_dtype, interpret):
-    """Run the tap kernel: (B, C, 4, Ho, Wo) border-clamped bilinear taps at
-    integer base (y0, x0) (clipped to [0,H-2]/[0,W-2])."""
+def _windowed_taps4(img, y0, x0, window, tap_dtype, interpret,
+                    tile_h=TILE_H):
+    """Run a tap kernel and return the 4 border-clamped bilinear taps
+    (t00, t01, t10, t11), each (B, C, Ho, Wo), at integer base (y0, x0)
+    (clipped to [0,H-2]/[0,W-2]).
+
+    tap_dtype bf16 takes the PAIR-PACKED kernel: horizontal tap pairs ride
+    one u32 gather, the kernel emits packed i32 taps, and the unpack (bit
+    shifts) returned here is lazy — XLA fuses it into the caller's bilinear
+    combine. Values are identical to bf16 taps from the unpacked kernel
+    (rounding happens at pack time instead of store time)."""
     B, H, W, C = img.shape
     _, Ho, Wo = y0.shape
     WH, WW = window
     # group up to 4 channel planes per program: index resolution is shared
     # and grid overhead drops by CG (big for C=3 image warps)
     CG = C if C <= 4 else 1
-    img_chw = img.transpose(0, 3, 1, 2)
-    n_ty, n_tx = Ho // TILE_H, Wo // TILE_W
+    n_ty, n_tx = Ho // tile_h, Wo // TILE_W
+    packed = (
+        PACK_BF16_TAPS
+        and tap_dtype is not None
+        and jnp.dtype(tap_dtype) == jnp.bfloat16
+    )
+
+    coord_spec = pl.BlockSpec(
+        (1, tile_h, TILE_W), lambda b, c, i, j: (b, i, j),
+        memory_space=pltpu.VMEM,
+    )
+    img_spec = pl.BlockSpec(
+        (1, CG, H, W), lambda b, c, i, j: (b, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    if packed:
+        kernel = functools.partial(
+            _warp_taps_kernel_packed, WH=WH, WW=WW, H=H, W=W, CG=CG,
+            TH=tile_h,
+        )
+        taps32 = pl.pallas_call(
+            kernel,
+            grid=(B, C // CG, n_ty, n_tx),
+            in_specs=[coord_spec, coord_spec, img_spec],
+            out_specs=pl.BlockSpec(
+                (1, CG, 2, tile_h, TILE_W),
+                lambda b, c, i, j: (b, c, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, C, 2, Ho, Wo), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((tile_h, TILE_W), jnp.int32)],
+            interpret=interpret,
+        )(y0, x0, _pack_pairs_u32(img))
+        taps32 = jax.lax.stop_gradient(taps32)
+        t00, t01 = _unpack_pair(taps32[:, :, 0])
+        t10, t11 = _unpack_pair(taps32[:, :, 1])
+        return t00, t01, t10, t11
+
     kernel = functools.partial(
-        _warp_taps_kernel, WH=WH, WW=WW, H=H, W=W, CG=CG
+        _warp_taps_kernel, WH=WH, WW=WW, H=H, W=W, CG=CG, TH=tile_h
     )
     taps = pl.pallas_call(
         kernel,
         grid=(B, C // CG, n_ty, n_tx),
-        in_specs=[
-            pl.BlockSpec(
-                (1, TILE_H, TILE_W), lambda b, c, i, j: (b, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, TILE_H, TILE_W), lambda b, c, i, j: (b, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, CG, H, W), lambda b, c, i, j: (b, c, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=[coord_spec, coord_spec, img_spec],
         out_specs=pl.BlockSpec(
-            (1, CG, 4, TILE_H, TILE_W),
+            (1, CG, 4, tile_h, TILE_W),
             lambda b, c, i, j: (b, c, 0, i, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, 4, Ho, Wo), tap_dtype or img.dtype),
         interpret=interpret,
-    )(y0, x0, img_chw)
-    return jax.lax.stop_gradient(taps)
+    )(y0, x0, img.transpose(0, 3, 1, 2))
+    taps = jax.lax.stop_gradient(taps)
+    return tuple(taps[:, :, k] for k in range(4))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "align_corners", "interpret", "tap_dtype")
+    jax.jit,
+    static_argnames=(
+        "window", "align_corners", "interpret", "tap_dtype", "tile_h"
+    ),
 )
 def grid_sample_windowed_zeros(
     img: jax.Array,
@@ -239,6 +384,7 @@ def grid_sample_windowed_zeros(
     align_corners: bool = True,
     interpret: bool = False,
     tap_dtype=None,
+    tile_h: int | None = None,
 ) -> jax.Array:
     """Zeros-padding bilinear sampling via the windowed tap kernel.
 
@@ -255,17 +401,18 @@ def grid_sample_windowed_zeros(
     ly, lx, a0, a1, c0, c1 = _zeros_factors(
         (H, W), grid.astype(jnp.float32), align_corners
     )
-    taps = _windowed_taps(
-        img, ly, lx, window=window, tap_dtype=tap_dtype, interpret=interpret
+    t00, t01, t10, t11 = _windowed_taps4(
+        img, ly, lx, window=window, tap_dtype=tap_dtype, interpret=interpret,
+        tile_h=tile_h or _auto_tile_h(grid.shape[1]),
     )
-    t = taps.astype(jnp.float32)
     a0 = a0[:, None]
     a1 = a1[:, None]
     c0 = c0[:, None]
     c1 = c1[:, None]
+    f32 = jnp.float32
     out = (
-        a0 * (c0 * t[:, :, 0] + c1 * t[:, :, 1])
-        + a1 * (c0 * t[:, :, 2] + c1 * t[:, :, 3])
+        a0 * (c0 * t00.astype(f32) + c1 * t01.astype(f32))
+        + a1 * (c0 * t10.astype(f32) + c1 * t11.astype(f32))
     )
     return out.transpose(0, 2, 3, 1).astype(img.dtype)
 
@@ -316,6 +463,7 @@ def grid_sample_windowed_zeros_safe(img, grid, window=None, **kwargs):
     windows = _resolve_windows(img.shape, window)
 
     y0, x0 = _source_coords(img.shape, grid)
+    tile_h = _auto_tile_h(grid.shape[1])
 
     def exact(im, g):
         return sampling.grid_sample(im, g, padding_mode="zeros").astype(
@@ -324,14 +472,14 @@ def grid_sample_windowed_zeros_safe(img, grid, window=None, **kwargs):
 
     branches = [
         (lambda im, g, w=w: grid_sample_windowed_zeros(
-            im, g, window=w, **kwargs
+            im, g, window=w, tile_h=tile_h, **kwargs
         ))
         for w in windows
     ] + [exact]
     if len(branches) == 1:
         return exact(img, grid)
     # one switch, windows ordered small->large (see grid_sample_windowed_safe)
-    span_y, span_x = tile_span_max(y0, x0)
+    span_y, span_x = tile_span_max(y0, x0, tile_h)
     idx = sum(
         jnp.where(_window_fits(img.shape, w, span_y, span_x), 0, 1).astype(
             jnp.int32
@@ -367,15 +515,16 @@ def _source_coords(img_shape, grid, align_corners=True):
     return jax.lax.stop_gradient(y0), jax.lax.stop_gradient(x0)
 
 
-def tile_span_max(y0: jax.Array, x0: jax.Array):
-    """Max per-(8,128)-output-tile source-coordinate spans -> two scalars.
+def tile_span_max(y0: jax.Array, x0: jax.Array, tile_h: int = TILE_H):
+    """Max per-(tile_h,128)-output-tile source-coordinate spans -> two
+    scalars. Must use the SAME tile height as the kernel it guards.
 
     Computed ONCE per call; window predicates are then scalar compares, so a
     guard cascade costs one reduction total."""
     B, Ho, Wo = y0.shape
-    ty, tx = Ho // TILE_H, Wo // TILE_W
-    yr = y0.reshape(B, ty, TILE_H, tx, TILE_W)
-    xr = x0.reshape(B, ty, TILE_H, tx, TILE_W)
+    ty, tx = Ho // tile_h, Wo // TILE_W
+    yr = y0.reshape(B, ty, tile_h, tx, TILE_W)
+    xr = x0.reshape(B, ty, tile_h, tx, TILE_W)
     span_y = jnp.max(jnp.max(yr, (2, 4)) - jnp.min(yr, (2, 4)))
     span_x = jnp.max(jnp.max(xr, (2, 4)) - jnp.min(xr, (2, 4)))
     return span_y, span_x
@@ -416,6 +565,7 @@ def grid_sample_windowed_safe(
     y0, x0 = _source_coords(img.shape, grid, align_corners)
     B, H, W, C = img.shape
     _, Ho, Wo, _ = grid.shape
+    tile_h = _auto_tile_h(Ho)
 
     def exact(im, g):
         out = sampling.grid_sample(
@@ -427,6 +577,7 @@ def grid_sample_windowed_safe(
         (lambda im, g, w=w: grid_sample_windowed(
             im, g, window=w, align_corners=align_corners,
             tap_dtype=tap_dtype, interpret=interpret, planar=planar,
+            tile_h=tile_h,
         ))
         for w in windows
     ] + [exact]
@@ -438,7 +589,7 @@ def grid_sample_windowed_safe(
     # windows must be ordered small->large so fits(w[i]) implies fits(w[j>i])
     # and the count of misses IS the first fitting branch index; one span
     # reduction serves every predicate
-    span_y, span_x = tile_span_max(y0, x0)
+    span_y, span_x = tile_span_max(y0, x0, tile_h)
     idx = sum(
         jnp.where(_window_fits(img.shape, w, span_y, span_x), 0, 1).astype(
             jnp.int32

@@ -152,3 +152,44 @@ def test_fusion_module_parity():
     )
     for o, r in zip(ours, ref):
         np.testing.assert_allclose(np.asarray(o), to_np_nhwc(r), atol=2e-4)
+
+
+def test_padfree_conv_matches_padded_block_conv():
+    """_padfree_conv (zero-padded conv + thin ring corrections) must equal
+    conv(_s2d_reflect_pad(x)) exactly, for both the reflect (top_src=1,
+    bot_src=f-2) and collapsed-up (0, 1) phase selections, and for the plain
+    edge pad."""
+    import jax
+    import jax.numpy as jnp
+
+    from mono_vifi_tpu.models import monodepth2 as md
+
+    rng = np.random.default_rng(5)
+    B, Hb, Wb, c, f = 2, 6, 10, 3, 2
+    xs = jnp.asarray(rng.random((B, Hb, Wb, f * f * c)).astype(np.float32))
+    w2 = jnp.asarray(
+        rng.standard_normal((3, 3, f * f * c, 8)).astype(np.float32)
+    )
+    b2 = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+
+    for ts, bs in ((1, f - 2), (0, 1)):
+        ref = md._block_conv(
+            md._s2d_reflect_pad(xs, c, f, top_src=ts, bot_src=bs), w2, b2, None
+        )
+        got = md._padfree_conv(
+            xs, w2, b2, None, md._edge_strips_s2d(xs, c, f, ts, bs)
+        )
+        # zero-pad conv + ring corrections reassociate the boundary sums
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5
+        )
+
+    # plain edge pad
+    x = jnp.asarray(rng.random((B, Hb, Wb, 5)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal((7,)).astype(np.float32))
+    ref = md._block_conv(
+        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"), w, bb, None
+    )
+    got = md._padfree_conv(x, w, bb, None, md._edge_strips_edgepad(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

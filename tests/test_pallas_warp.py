@@ -132,3 +132,36 @@ def test_windowed_zeros_matches_exact_rotation():
     ref = sampling.grid_sample(img, grid, padding_mode="zeros")
     out = pwarp.grid_sample_windowed_zeros(img, grid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_bf16_taps_match_unpacked():
+    """The u32 pair-packed bf16 kernel must produce values IDENTICAL to the
+    unpacked kernel at tap_dtype=bfloat16 (rounding at pack time == rounding
+    at tap-store time), in both border and zeros modes."""
+    B, H, W, C = 2, 64, 640, 3
+    img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
+    grid = jnp.asarray(_smooth_grid(B, H, W))
+
+    packed = pwarp.grid_sample_windowed(
+        img, grid, window=(H, 384), tap_dtype=jnp.bfloat16, interpret=True
+    )
+    # unpacked bf16 reference: run the f32 kernel on a pre-rounded image
+    # (same value set: bf16(img) gathered exactly)
+    ref = pwarp.grid_sample_windowed(
+        img.astype(jnp.bfloat16).astype(jnp.float32), grid,
+        window=(H, 384), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed, np.float32), np.asarray(ref, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+    # and it stays close to the exact f32 sampler
+    exact = sampling.grid_sample(img, grid, "border", True)
+    err = np.max(np.abs(np.asarray(packed, np.float32) - np.asarray(exact)))
+    assert err < 2e-2, err
+
+    pz = pwarp.grid_sample_windowed_zeros(
+        img, grid, window=(H, 384), tap_dtype=jnp.bfloat16, interpret=True
+    )
+    ez = sampling.grid_sample(img, grid, "zeros", True)
+    assert np.max(np.abs(np.asarray(pz) - np.asarray(ez))) < 2e-2
