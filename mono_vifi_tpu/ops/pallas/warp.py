@@ -136,7 +136,7 @@ def _warp_taps_kernel(y0_ref, x0_ref, img_ref, out_ref, *, WH, WW, H, W,
         out_ref[0, c, 3] = t11.astype(od)
 
 
-def _warp_taps_kernel_packed(y0_ref, x0_ref, img_ref, out_ref, comb_ref, *,
+def _warp_taps_kernel_packed(y0_ref, x0_ref, img_ref, out_ref, *,
                              WH, WW, H, W, CG=1, TH=TILE_H):
     """bf16 PAIR-PACKED variant: img_ref holds u32 lanes
     P[y, x] = bits16(img[y, x]) | bits16(img[y, x+1]) << 16, so ONE gather
@@ -162,10 +162,10 @@ def _warp_taps_kernel_packed(y0_ref, x0_ref, img_ref, out_ref, comb_ref, *,
         jnp.logical_and(lx >= k * 128, lx < (k + 1) * 128) for k in range(n_chunks)
     ]
     lx_rel = [jnp.clip(lx - k * 128, 0, 127) for k in range(n_chunks)]
-    # per-tile chunk usage (scalar): a 128-wide tile's taps span <= 2-3
-    # adjacent chunks after the 128-aligned ox, so typically one of the
-    # window's chunks holds NO taps — skip its gather+select wholesale
-    use = [jnp.any(in_chunk[k]) for k in range(n_chunks)]
+    # NOTE: skipping tapless chunks via pl.when + a VMEM scratch accumulator
+    # was MEASURED 5.5x SLOWER (148.9 vs 27.3 ms on the 120-image
+    # photometric shape): predicated control flow in the inner loop breaks
+    # Mosaic's vectorization/pipelining. Keep the straight-line where-chain.
 
     g0 = jnp.min(ly) // 8
     g1 = (jnp.max(ly) + 1) // 8 + 1
@@ -179,20 +179,13 @@ def _warp_taps_kernel_packed(y0_ref, x0_ref, img_ref, out_ref, comb_ref, *,
             blk = img_ref[0, c, pl.ds(base, 8), pl.ds(ox, WW)]
             for i in range(8):
                 row = blk[i : i + 1, :]  # (1, WW) i32
-                comb_ref[...] = zero
+                comb = zero
                 for k in range(n_chunks):
-
-                    @pl.when(use[k])
-                    def _chunk(k=k, row=row):
-                        chunk = jnp.broadcast_to(
-                            row[:, k * 128 : (k + 1) * 128], (TH, TILE_W)
-                        )
-                        g_k = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
-                        comb_ref[...] = jnp.where(
-                            in_chunk[k], g_k, comb_ref[...]
-                        )
-
-                comb = comb_ref[...]
+                    chunk = jnp.broadcast_to(
+                        row[:, k * 128 : (k + 1) * 128], (TH, TILE_W)
+                    )
+                    g_k = jnp.take_along_axis(chunk, lx_rel[k], axis=1)
+                    comb = jnp.where(in_chunk[k], g_k, comb)
                 r = g * 8 + i
                 t0 = jnp.where(ly == r, comb, t0)
                 t1 = jnp.where(ly == r - 1, comb, t1)
@@ -344,7 +337,6 @@ def _windowed_taps4(img, y0, x0, window, tap_dtype, interpret,
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((B, C, 2, Ho, Wo), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((tile_h, TILE_W), jnp.int32)],
             interpret=interpret,
         )(y0, x0, _pack_pairs_u32(img))
         taps32 = jax.lax.stop_gradient(taps32)

@@ -267,29 +267,34 @@ class MonoViFiStep:
         K, invK = batch["K"], batch["inv_K"]
         new_bstats = dict(batch_stats)
 
-        # ---- frozen VFI-L (reference train.py:715-718): ALL THREE pairs
-        # (two synthesis + the (n1, p1) onlyFlow pair) batch into ONE pass;
-        # n_full=2B restricts the full-res image warps + merge (gathers, the
-        # most expensive op on TPU) to the two synthesis pairs — exactly the
-        # reference's 2-full-calls + 1-onlyFlow-call values.
-        embt3 = jnp.full((3 * B, 1, 1, 1), 0.5, jnp.float32)
-        vfi_out = jax.lax.stop_gradient(
+        # ---- frozen VFI-L (reference train.py:715-718): the two synthesis
+        # pairs batch into one full pass; the (n1, p1) pair takes the
+        # onlyFlow fast path (no full-res image warps — they're gathers, the
+        # most expensive op on TPU). NOTE: batching all THREE pairs into one
+        # n_full=2B pass was MEASURED -4.8 samples/s on the full step (23.5
+        # -> 18.7): the 3B-wide VFI activation set raises peak HBM pressure
+        # enough that XLA rematerializes — keep the two calls.
+        embt2 = jnp.full((2 * B, 1, 1, 1), 0.5, jnp.float32)
+        vfi_out = b.vfi_train.apply(
+            {"params": vfi_params},
+            jnp.concatenate([img_n1, img_0], 0),
+            jnp.concatenate([img_0, img_p1], 0),
+            embt2,
+        )
+        vfi_out = jax.lax.stop_gradient(vfi_out)
+        flows_01 = jax.lax.stop_gradient(
             b.vfi_train.apply(
-                {"params": vfi_params},
-                jnp.concatenate([img_n1, img_0, img_n1], 0),
-                jnp.concatenate([img_0, img_p1, img_p1], 0),
-                embt3,
-                n_full=2 * B,
+                {"params": vfi_params}, img_n1, img_p1, embt2[:B], only_flow=True
             )
         )
-        pred = _f32(vfi_out["imgt_pred"])  # (2B, H, W, 3)
+        pred = _f32(vfi_out["imgt_pred"])
         fl0, fl1 = _f32(vfi_out["flow0"]), _f32(vfi_out["flow1"])
         msk = _f32(vfi_out["mask"])
         img_nt, img_pt = pred[:B], pred[B:]
         flow_nt_n1, flow_nt_0 = fl0[:B], fl1[:B]
-        flow_pt_0, flow_pt_p1 = fl0[B : 2 * B], fl1[B : 2 * B]
-        flow_0_n1, flow_0_p1 = fl0[2 * B :], fl1[2 * B :]
-        mask_nt, mask_pt, mask_01 = msk[:B], msk[B : 2 * B], msk[2 * B :]
+        flow_pt_0, flow_pt_p1 = fl0[B:], fl1[B:]
+        flow_0_n1, flow_0_p1 = _f32(flows_01["flow0"]), _f32(flows_01["flow1"])
+        mask_nt, mask_pt, mask_01 = msk[:B], msk[B:], _f32(flows_01["mask"])
 
         # ---- 6 pose pairs in one pass (reference train.py:728-733, :943-954)
         pose_pairs = [
