@@ -79,10 +79,15 @@ def main():
                     help="ResNet18 (default, the tracked metric) | LiteMono | DHRNet")
     ap.add_argument("--batch", type=int, default=0,
                     help="override batch size (default: reference config's)")
+    ap.add_argument("--hr", action="store_true",
+                    help="high-res 320x1024 config (reference *_KITTI_HR.txt: "
+                         "bs4, encoder remat)")
     args = ap.parse_args()
     # reference per-backbone KITTI-MR batch sizes (configs/*/*.txt)
-    B = args.batch or {"ResNet18": 10, "LiteMono": 8, "DHRNet": 6}[args.backbone]
-    H, W = 192, 640
+    B = args.batch or (
+        4 if args.hr else {"ResNet18": 10, "LiteMono": 8, "DHRNet": 6}[args.backbone]
+    )
+    H, W = (320, 1024) if args.hr else (192, 640)
     cfg = Options(
         height=H,
         width=W,
@@ -91,6 +96,7 @@ def main():
         use_affine=True,
         compute_dtype="bfloat16",
         fuse_model_type="shared_encoder",
+        encoder_remat=args.hr,
     )
     bundle, tx, state = monovifi.create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=3981
@@ -116,10 +122,10 @@ def main():
 
     samples_per_sec = B * iters / dt
     name = "monovifi_train_samples_per_sec_640x192_bs10_1chip"
-    if args.backbone != "ResNet18":
+    if args.backbone != "ResNet18" or args.hr:
         name = (
             f"monovifi_{args.backbone.lower()}_train_samples_per_sec_"
-            f"640x192_bs{B}_1chip"
+            f"{W}x{H}_bs{B}_1chip"
         )
     print(
         json.dumps(

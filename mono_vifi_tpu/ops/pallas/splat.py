@@ -765,6 +765,40 @@ def _wfft_bwd(ids, gather_dtype, use_splat, interpret, patch_gather, res, ct):
     flow, table_shape = res
     U, H, W, C = table_shape
     grid = _flow_to_grid(jnp.asarray(flow, jnp.float32), H, W)
+
+    groups = [[] for _ in range(U)]
+    for k, u in enumerate(ids):
+        groups[u].append(k)
+    sizes = {len(g) for g in groups}
+
+    if use_splat and len(sizes) == 1 and sizes != {1}:
+        # PAIRED-USE splat: all n uses of one unique CONCATENATE ALONG WIDTH
+        # into one splat image (pixel positions only index the bands; ly/lx
+        # stay plane coordinates) — the adjoint comes out per-unique already
+        # summed. Windows, band programs, and the overlap-add all shrink
+        # n-fold vs per-use splats, and the static per-unique add tree
+        # disappears. The per-image vertical shift dy is then shared by the
+        # n uses (residual budget covers the union; the usual runtime guard
+        # falls back to the exact scatter when it doesn't fit).
+        ct_g = jnp.concatenate(
+            [
+                jnp.concatenate([ct[k : k + 1] for k in g], axis=2)
+                for g in groups
+            ],
+            axis=0,
+        )  # (U, Ho, n*Wo, C)
+        grid_g = jnp.concatenate(
+            [
+                jnp.concatenate([grid[k : k + 1] for k in g], axis=2)
+                for g in groups
+            ],
+            axis=0,
+        )
+        adj = grid_sample_adjoint_image(
+            ct_g, (H, W), grid_g, interpret=interpret, out_dtype=ct.dtype
+        )
+        return adj.astype(ct.dtype), jnp.zeros_like(flow)
+
     if use_splat:
         adj = grid_sample_adjoint_image(
             ct, (H, W), grid, interpret=interpret, out_dtype=ct.dtype

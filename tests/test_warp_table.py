@@ -50,8 +50,11 @@ def test_warp_frozen_flow_table_grad_matches_concat_formulation():
 
     g_new = jax.grad(via_table)(table)
     g_ref = jax.grad(via_concat)(table)
-    np.testing.assert_allclose(  # 1-ulp bf16 reassociation of the use-sums
-        np.asarray(g_new), np.asarray(g_ref), atol=1e-2, rtol=1e-3
+    # paired-use splat accumulates both uses in f32 and rounds the bf16
+    # window ONCE where the per-use path sums two rounded planes: equal up
+    # to 1 bf16 ulp of the combined magnitude (2^-7 relative)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), atol=1e-2, rtol=1e-2
     )
 
     def via_exact(t):
