@@ -99,19 +99,19 @@ class FusionModule(nn.Module):
     def _warp_pyramid_table(self, unique_feats, ids, flow):
         """Indexed variant of _warp_pyramid: all warp uses draw from one
         unique-image table per level (no repeated-pyramid batch concat; its
-        backward statically sums each unique's uses). patch_gather: one
-        guarded 3x3-footprint gather row per 2x2 output patch (exact, 4x
-        fewer rows on the rate-bound gather when flows are locally smooth;
-        falls back to the per-pixel gather otherwise)."""
+        backward statically sums each unique's uses). Per-pixel
+        packed-footprint gather, NOT patch_gather: the C>=64 feature gather
+        is BYTE-bound (~44 GB/s, PERF.md round-4 microbench), the patch
+        footprint saves no bytes at the span real flows need (floor-noise
+        alone breaks span<=1), and its lax.cond guard costs ~ms/step in
+        operand copies."""
         out = []
         fh, fw = flow.shape[1], flow.shape[2]
         for feat in unique_feats:
             H, W = feat.shape[1], feat.shape[2]
             scale = jnp.asarray([W / fw, H / fh], flow.dtype)
             flow_ = resize_bilinear(flow, (H, W)) * scale
-            out.append(
-                warp_frozen_flow_table(feat, ids, flow_, patch_gather=True)
-            )
+            out.append(warp_frozen_flow_table(feat, ids, flow_))
         return out
 
     @nn.compact

@@ -162,14 +162,15 @@ class IFRNet(nn.Module):
 
         for dec, lvl in ((decoder3, 2), (decoder2, 1), (decoder1, 0)):
             if self.fast_warp:
-                # both frames' feature warps in one guarded patch-gather
-                # call (one 3x3-footprint row per 2x2 patch: 4x fewer rows
-                # on the rate-bound gather; exact — falls back per-pixel
-                # on non-smooth flows)
+                # both frames' feature warps in one batched per-pixel
+                # packed-footprint gather. NOT patch_gather: the C>=64
+                # feature gather is BYTE-bound (~44 GB/s, PERF.md round-4
+                # microbench), a 2x2-patch footprint saves no bytes at the
+                # span real flows need (floor-noise alone breaks span<=1),
+                # and its lax.cond guard costs ~ms in operand copies
                 fw = warp(
                     jnp.concatenate([f0[lvl], f1[lvl]], 0),
                     jnp.concatenate([flow0, flow1], 0),
-                    patch_gather=True,
                 )
                 f0w, f1w = fw[: flow0.shape[0]], fw[flow0.shape[0] :]
             else:
