@@ -106,12 +106,6 @@ class IFRNet(nn.Module):
       imgt is None:  + {"imgt_pred"}
       imgt given:    + {"imgt_pred", "loss"} (VFI training losses)
     Flows are (B, H, W, 2) pixel displacements; mask is (B, H, W, 1).
-
-    `n_full`: flow pyramid for ALL B pairs but image synthesis (the
-    expensive full-res warps + merge) only for the FIRST n_full — lets the
-    trainer batch its synthesis pairs and onlyFlow pair through ONE pass
-    (reference train.py:715-718 makes 2 separate module calls);
-    "imgt_pred" then has leading dim n_full.
     """
 
     scale: str = "large"
@@ -119,8 +113,7 @@ class IFRNet(nn.Module):
     fast_warp: bool = False  # windowed Pallas kernel for full-res img warps
 
     @nn.compact
-    def __call__(self, img0, img1, embt, imgt=None, only_flow: bool = False,
-                 n_full: int | None = None):
+    def __call__(self, img0, img1, embt, imgt=None, only_flow: bool = False):
         B, H, W, _ = img0.shape
         channels = _PYRAMID_CHANNELS[self.scale]
         side = _SIDE_CHANNELS[self.scale]
@@ -195,18 +188,9 @@ class IFRNet(nn.Module):
         if only_flow:
             return {"flow0": flow0_full, "flow1": flow1_full, "mask": mask_full}
 
-        if n_full is not None and n_full < B:
-            assert imgt is None, "n_full is a frozen-inference fast path"
-            img0 = img0[:n_full]
-            img1 = img1[:n_full]
-            mean_ = mean_[:n_full]
-            img0_warp_flow = flow0_full[:n_full]
-            img1_warp_flow = flow1_full[:n_full]
-            merge_mask = mask_full[:n_full]
-        else:
-            img0_warp_flow = flow0_full
-            img1_warp_flow = flow1_full
-            merge_mask = mask_full
+        img0_warp_flow = flow0_full
+        img1_warp_flow = flow1_full
+        merge_mask = mask_full
 
         Bw = img0.shape[0]
         if self.fast_warp:

@@ -771,7 +771,7 @@ def _wfft_bwd(ids, gather_dtype, use_splat, interpret, patch_gather, res, ct):
         groups[u].append(k)
     sizes = {len(g) for g in groups}
 
-    if use_splat and len(sizes) == 1 and sizes != {1}:
+    if use_splat and len(sizes) == 1 and not (sizes & {0, 1}):
         # PAIRED-USE splat: all n uses of one unique CONCATENATE ALONG WIDTH
         # into one splat image (pixel positions only index the bands; ly/lx
         # stay plane coordinates) — the adjoint comes out per-unique already
@@ -806,12 +806,14 @@ def _wfft_bwd(ids, gather_dtype, use_splat, interpret, patch_gather, res, ct):
     else:
         f = _border_factors((H, W), grid)
         adj = _xla_splat(ct, *f, (H, W))
-    # static per-unique accumulation of the N per-use adjoints
+    # static per-unique accumulation of the N per-use adjoints; a unique
+    # with zero uses (legal table) contributes a zeros plane
     parts = [[] for _ in range(U)]
     for k, u in enumerate(ids):
         parts[u].append(adj[k : k + 1])
+    zero = jnp.zeros((1, H, W, C), adj.dtype)
     g = jnp.concatenate(
-        [functools.reduce(jnp.add, p) for p in parts], axis=0
+        [functools.reduce(jnp.add, p) if p else zero for p in parts], axis=0
     )
     return g.astype(ct.dtype), jnp.zeros_like(flow)
 

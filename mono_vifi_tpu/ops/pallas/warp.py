@@ -390,6 +390,17 @@ def grid_sample_windowed_zeros(
     from mono_vifi_tpu.ops.pallas.splat import _zeros_factors
 
     B, H, W, C = img.shape
+    WH, WW = window
+    # same reachability contract as grid_sample_windowed: the floor-8-aligned
+    # origin clamp must reach H - WH exactly, else the bottom (H - WH) % 8
+    # rows are silently unreachable (see _resolve_windows)
+    assert (
+        H >= WH >= 8
+        and W >= WW
+        and WW % 128 == 0
+        and WH % 8 == 0
+        and (H - WH) % 8 == 0
+    ), (H, W, window)
     ly, lx, a0, a1, c0, c1 = _zeros_factors(
         (H, W), grid.astype(jnp.float32), align_corners
     )
@@ -434,7 +445,10 @@ def _resolve_windows(img_shape, window):
     return [
         w
         for w in windows
-        if 8 <= w[0] <= H and W >= w[1] and (H - w[0]) % 8 == 0
+        if 8 <= w[0] <= H
+        and w[0] % 8 == 0
+        and W >= w[1]
+        and (H - w[0]) % 8 == 0
     ]
 
 

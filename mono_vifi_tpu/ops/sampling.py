@@ -14,8 +14,9 @@ Implementation notes (TPU):
     out-of-range taps get zero weight via masks.
   - Gradients flow to both the image (scatter-add adjoint of gather) and the
     grid, same as torch.
-A Pallas kernel with the same contract lives in ops/pallas/grid_sample.py and
-is used on TPU when it wins; this XLA version is the always-correct oracle.
+Pallas kernels with the same contract live in ops/pallas/warp.py (windowed
+forward taps) and ops/pallas/splat.py (MXU splat adjoint) and are used on TPU
+when they win; this XLA version is the always-correct oracle.
 """
 
 from __future__ import annotations

@@ -271,9 +271,9 @@ class MonoViFiStep:
         # pairs batch into one full pass; the (n1, p1) pair takes the
         # onlyFlow fast path (no full-res image warps — they're gathers, the
         # most expensive op on TPU). NOTE: batching all THREE pairs into one
-        # n_full=2B pass was MEASURED -4.8 samples/s on the full step (23.5
-        # -> 18.7): the 3B-wide VFI activation set raises peak HBM pressure
-        # enough that XLA rematerializes — keep the two calls.
+        # 3B-wide pass (trimmed synthesis) was MEASURED -4.8 samples/s on the
+        # full step (23.5 -> 18.7): the 3B-wide VFI activation set raises
+        # peak HBM pressure enough that XLA rematerializes — keep two calls.
         embt2 = jnp.full((2 * B, 1, 1, 1), 0.5, jnp.float32)
         vfi_out = b.vfi_train.apply(
             {"params": vfi_params},
