@@ -354,14 +354,15 @@ def _padfree_conv(xs, w2, b2, dtype, strips):
     cl = conv(jnp.concatenate([zl, left, zl], 1), w2[:, 0:1])
     zr = jnp.zeros_like(right[:, :1])
     cr = conv(jnp.concatenate([zr, right, zr], 1), w2[:, 2:3])
-    return (
-        y
-        + b2.astype(cd)
-        + jnp.pad(ct, ((0, 0), (0, Ho - 1), (0, 0), (0, 0)))
-        + jnp.pad(cb, ((0, 0), (Ho - 1, 0), (0, 0), (0, 0)))
-        + jnp.pad(cl, ((0, 0), (0, 0), (0, Wo - 1), (0, 0)))
-        + jnp.pad(cr, ((0, 0), (0, 0), (Wo - 1, 0), (0, 0)))
-    )
+    # thin in-place row/col adds: padding the four ring corrections to full
+    # size wrote 4 full output tensors per conv (~1 ms each at training
+    # shapes); dynamic-update-slice touches only the boundary rows/cols
+    y = y + b2.astype(cd)
+    y = y.at[:, 0:1].add(ct)
+    y = y.at[:, Ho - 1 : Ho].add(cb)
+    y = y.at[:, :, 0:1].add(cl)
+    y = y.at[:, :, Wo - 1 : Wo].add(cr)
+    return y
 
 
 def _s2d_conv3x3(xs, w, b, cin, dtype, f=2, top_src=None, bot_src=None):

@@ -121,6 +121,24 @@ def reprojection_grid(
       grid: (B, H, W, 2) normalized sampling coordinates in [-1, 1],
       (x, y) order, align_corners=True convention.
     """
+    gx, gy = reprojection_grid_planar(depth, K, inv_K, T, eps)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def reprojection_grid_planar(
+    depth: jax.Array,
+    K: jax.Array,
+    inv_K: jax.Array,
+    T: jax.Array,
+    eps: float = 1e-7,
+):
+    """`reprojection_grid` returning the PLANAR pair (gx, gy), each (B, H, W).
+
+    The TPU training path stays planar end-to-end: a (..., 2)-minor grid
+    tensor gets 64x lane-tile padding on every copy/concat/split it touches
+    (the batch-concat of two grids alone cost ~6 ms/step in backward splits),
+    while (B, H, W) planes tile perfectly.
+    """
     if depth.ndim == 4:
         depth = depth[..., 0]
     B, H, W = depth.shape
@@ -140,7 +158,7 @@ def reprojection_grid(
     y = cam[:, 1] / (cam[:, 2] + eps)
     gx = (x / (W - 1) - 0.5) * 2.0
     gy = (y / (H - 1) - 0.5) * 2.0
-    return jnp.stack([gx, gy], axis=-1)
+    return gx, gy
 
 
 def conjugate_pose(pose: jax.Array, Rc: jax.Array) -> jax.Array:

@@ -242,8 +242,36 @@ def grid_sample_windowed(
     output-tile height; span guards must use the same value.
     See module docstring for the exactness contract.
     """
+    return grid_sample_windowed_planar(
+        img, grid[..., 0], grid[..., 1], window=window,
+        align_corners=align_corners, interpret=interpret,
+        tap_dtype=tap_dtype, planar=planar, tile_h=tile_h,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window", "align_corners", "interpret", "tap_dtype", "planar", "tile_h"
+    ),
+)
+def grid_sample_windowed_planar(
+    img: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    window: tuple[int, int] = (56, 384),
+    align_corners: bool = True,
+    interpret: bool = False,
+    tap_dtype=None,
+    planar: bool = False,
+    tile_h: int | None = None,
+) -> jax.Array:
+    """grid_sample_windowed with the grid as a PLANAR (gx, gy) pair, each
+    (B, Ho, Wo). The (..., 2)-minor stacked grid pays 64x lane-tile padding
+    on every copy/concat/split; planar planes tile perfectly — the TPU
+    training path passes coordinates planar end-to-end."""
     B, H, W, C = img.shape
-    _, Ho, Wo, _ = grid.shape
+    _, Ho, Wo = gx.shape
     WH, WW = window
     tile_h = tile_h or _auto_tile_h(Ho)
     assert Ho % tile_h == 0 and Wo % TILE_W == 0, (Ho, Wo, tile_h)
@@ -259,11 +287,11 @@ def grid_sample_windowed(
     ), (H, W, window)
 
     if align_corners:
-        x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
-        y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
     else:
-        x = ((grid[..., 0] + 1.0) * W - 1.0) * 0.5
-        y = ((grid[..., 1] + 1.0) * H - 1.0) * 0.5
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
     x = jnp.clip(x, 0.0, W - 1)
     y = jnp.clip(y, 0.0, H - 1)
     x0f = jnp.clip(jnp.floor(x), 0, W - 2)
@@ -504,18 +532,25 @@ def warp_windowed(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
     gy = jax.lax.broadcasted_iota(dtype, (H, W), 0) / ((H - 1.0) / 2.0) - 1.0
     nx = gx[None] + flow[..., 0] / ((W - 1.0) / 2.0)
     ny = gy[None] + flow[..., 1] / ((H - 1.0) / 2.0)
-    return grid_sample_windowed(img, jnp.stack([nx, ny], axis=-1), **kwargs)
+    return grid_sample_windowed_planar(img, nx, ny, **kwargs)
 
 
 def _source_coords(img_shape, grid, align_corners=True):
     """Integer base coords (y0, x0) exactly as the kernel computes them."""
+    return _source_coords_planar(
+        img_shape, grid[..., 0], grid[..., 1], align_corners
+    )
+
+
+def _source_coords_planar(img_shape, gx, gy, align_corners=True):
+    """_source_coords from the planar (gx, gy) coordinate pair."""
     _, H, W, _ = img_shape
     if align_corners:
-        x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
-        y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
     else:
-        x = ((grid[..., 0] + 1.0) * W - 1.0) * 0.5
-        y = ((grid[..., 1] + 1.0) * H - 1.0) * 0.5
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
     x0 = jnp.clip(jnp.floor(jnp.clip(x, 0.0, W - 1)), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(jnp.clip(y, 0.0, H - 1)), 0, H - 2).astype(jnp.int32)
     return jax.lax.stop_gradient(y0), jax.lax.stop_gradient(x0)
@@ -564,31 +599,53 @@ def grid_sample_windowed_safe(
     tuple of windows tried smallest first. All paths match torch
     grid_sample border/align_corners=True semantics, so the guard choice
     never changes values — only speed."""
+    return grid_sample_windowed_safe_planar(
+        img, grid[..., 0], grid[..., 1], window=window,
+        align_corners=align_corners, tap_dtype=tap_dtype,
+        interpret=interpret, planar=planar,
+    )
+
+
+def grid_sample_windowed_safe_planar(
+    img: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    window: tuple[int, int] | tuple[tuple[int, int], ...] | None = None,
+    align_corners: bool = True,
+    tap_dtype=None,
+    interpret: bool = False,
+    planar: bool = False,
+) -> jax.Array:
+    """grid_sample_windowed_safe taking the coordinates as a PLANAR (gx, gy)
+    pair, each (B, Ho, Wo). The stacked (..., 2)-minor grid is only
+    materialized inside the (rarely taken) exact-fallback branch — the hot
+    windowed branches consume the perfectly-tiled planes directly."""
     from mono_vifi_tpu.ops import sampling
 
     windows = _resolve_windows(img.shape, window)
 
-    y0, x0 = _source_coords(img.shape, grid, align_corners)
+    y0, x0 = _source_coords_planar(img.shape, gx, gy, align_corners)
     B, H, W, C = img.shape
-    _, Ho, Wo, _ = grid.shape
+    _, Ho, Wo = gx.shape
     tile_h = _auto_tile_h(Ho)
 
-    def exact(im, g):
+    def exact(im, gxx, gyy):
+        g = jnp.stack([gxx, gyy], axis=-1)
         out = sampling.grid_sample(
             im, g, align_corners=align_corners, gather_dtype=tap_dtype
         ).astype(img.dtype)
         return out.transpose(0, 3, 1, 2) if planar else out
 
     branches = [
-        (lambda im, g, w=w: grid_sample_windowed(
-            im, g, window=w, align_corners=align_corners,
+        (lambda im, gxx, gyy, w=w: grid_sample_windowed_planar(
+            im, gxx, gyy, window=w, align_corners=align_corners,
             tap_dtype=tap_dtype, interpret=interpret, planar=planar,
             tile_h=tile_h,
         ))
         for w in windows
     ] + [exact]
     if len(branches) == 1:
-        return exact(img, grid)
+        return exact(img, gx, gy)
     # ONE switch (single operand/result boundary) rather than nested conds:
     # every extra cond level re-copies the big image operands in canonical
     # tiled layouts (42x lane padding for C=3 minor -> HBM OOM)
@@ -602,7 +659,7 @@ def grid_sample_windowed_safe(
         )
         for w in windows
     )
-    return jax.lax.switch(idx, branches, img, grid)
+    return jax.lax.switch(idx, branches, img, gx, gy)
 
 
 def warp_windowed_safe(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
@@ -613,7 +670,7 @@ def warp_windowed_safe(img: jax.Array, flow: jax.Array, **kwargs) -> jax.Array:
     gy = jax.lax.broadcasted_iota(dtype, (H, W), 0) / ((H - 1.0) / 2.0) - 1.0
     nx = gx[None] + flow[..., 0] / ((W - 1.0) / 2.0)
     ny = gy[None] + flow[..., 1] / ((H - 1.0) / 2.0)
-    return grid_sample_windowed_safe(img, jnp.stack([nx, ny], axis=-1), **kwargs)
+    return grid_sample_windowed_safe_planar(img, nx, ny, **kwargs)
 
 
 def windowed_ok(img_shape, grid_shape, window=None) -> bool:

@@ -110,10 +110,13 @@ class MonoViFiStep:
         cfg = self.cfg
         disp = _f32(disp)
         _, depth = geometry.disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
-        grid_n1 = geometry.reprojection_grid(depth, K, invK, T_n1)
-        grid_p1 = geometry.reprojection_grid(depth, K, invK, T_p1)
+        # PLANAR (gx, gy) coordinate planes end-to-end: a (..., 2)-minor grid
+        # pays 64x lane-tile padding on every copy/concat/split it touches
+        gx_n1, gy_n1 = geometry.reprojection_grid_planar(depth, K, invK, T_n1)
+        gx_p1, gy_p1 = geometry.reprojection_grid_planar(depth, K, invK, T_p1)
+        gshape = gx_n1.shape + (2,)
         if getattr(self.b, "fast_warp", False) and pwarp.windowed_ok(
-            src_n1.shape, grid_n1.shape
+            src_n1.shape, gshape
         ):
             td = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
             # _safe: runtime span guard falls back to the exact gather when
@@ -122,9 +125,10 @@ class MonoViFiStep:
             # kernel's native channel-planar taps feed the planar photometric
             # losses directly (no NHWC round-trip transpose)
             pred2 = _f32(
-                pwarp.grid_sample_windowed_safe(
+                pwarp.grid_sample_windowed_safe_planar(
                     jnp.concatenate([src_n1, src_p1], 0),
-                    jnp.concatenate([grid_n1, grid_p1], 0),
+                    jnp.concatenate([gx_n1, gx_p1], 0),
+                    jnp.concatenate([gy_n1, gy_p1], 0),
                     tap_dtype=td,
                     planar=True,
                 )
@@ -133,6 +137,8 @@ class MonoViFiStep:
             pred_n1_pl, pred_p1_pl = pred2[:N], pred2[N:]
         else:
             gd = self.b.dtype  # bf16 taps in the bf16 path (None = exact)
+            grid_n1 = jnp.stack([gx_n1, gy_n1], axis=-1)
+            grid_p1 = jnp.stack([gx_p1, gy_p1], axis=-1)
             pred_n1_pl = L.to_planar(
                 _f32(sampling.grid_sample(src_n1, grid_n1, gather_dtype=gd))
             )

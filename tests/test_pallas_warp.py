@@ -134,6 +134,32 @@ def test_windowed_zeros_matches_exact_rotation():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_planar_entry_points_match_stacked():
+    """The planar (gx, gy) entry points must equal the stacked-grid ones on
+    both the windowed branch (smooth grid) and the exact fallback
+    (adversarial grid) of the safe cascade."""
+    B, H, W, C = 1, 64, 640, 3
+    img = jnp.asarray(RNG.random((B, H, W, C)).astype(np.float32))
+    for grid_np in (
+        _smooth_grid(B, H, W),
+        RNG.uniform(-1, 1, (B, H, W, 2)).astype(np.float32),
+    ):
+        grid = jnp.asarray(grid_np)
+        gx, gy = grid[..., 0], grid[..., 1]
+        stacked = pwarp.grid_sample_windowed_safe(img, grid, interpret=True)
+        planar = pwarp.grid_sample_windowed_safe_planar(
+            img, gx, gy, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(stacked), np.asarray(planar))
+    # and the unguarded planar kernel entry
+    grid = jnp.asarray(_smooth_grid(B, H, W))
+    a = pwarp.grid_sample_windowed(img, grid, interpret=True)
+    b = pwarp.grid_sample_windowed_planar(
+        img, grid[..., 0], grid[..., 1], interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_packed_bf16_taps_match_unpacked():
     """The u32 pair-packed bf16 kernel must produce values IDENTICAL to the
     unpacked kernel at tap_dtype=bfloat16 (rounding at pack time == rounding
