@@ -127,3 +127,14 @@ def to_array(img: Image.Image) -> np.ndarray:
     if arr.ndim == 2:
         arr = arr[..., None]
     return arr
+
+
+def to_u8(img: Image.Image) -> np.ndarray:
+    """PIL -> uint8 HWC. The /255 float conversion moves to the DEVICE
+    (training.monovifi.dequantize_batch): uint8 staging quarters host
+    convert/collate bytes and host->device transfer; f32(u8)/255 on device
+    equals to_array exactly (both are IEEE f32 divisions of exact values)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr

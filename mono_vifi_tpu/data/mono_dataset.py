@@ -62,6 +62,7 @@ class MonoDataset:
         is_train: bool = False,
         img_ext: str = ".png",
         seed: int = 1234,
+        stage_uint8: bool = False,
     ):
         self.data_path = data_path
         self.filenames = list(filenames)
@@ -78,6 +79,10 @@ class MonoDataset:
         self.epoch = 0
         self.loader = pil_loader
         self.interp = Image.LANCZOS  # reference uses Image.ANTIALIAS
+        # uint8 staging: image/mask planes leave the host as uint8 and the
+        # /255 float conversion runs on-device (monovifi.dequantize_batch) —
+        # identical values, 4x less host convert/collate/transfer traffic
+        self.stage_uint8 = stage_uint8
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -250,6 +255,9 @@ class MonoDataset:
                 out[f"inv_K_s{s}"] = np.linalg.pinv(Ks).astype(np.float32)
 
         jitter = ColorJitter(rng=rng) if do_color_aug else Identity()
+        from mono_vifi_tpu.data.augment import to_u8
+
+        conv = to_u8 if self.stage_uint8 else to_array
 
         affine = None
         if self.use_affine and self.is_train:
@@ -258,14 +266,14 @@ class MonoDataset:
         full_pyramid = self.num_scales > 1
         for name, img in raw.items():
             resized = img.resize((self.width, self.height), self.interp)
-            out[f"color_{name}"] = to_array(resized)
-            out[f"color_aug_{name}"] = to_array(jitter(resized))
+            out[f"color_{name}"] = conv(resized)
+            out[f"color_aug_{name}"] = conv(jitter(resized))
             im = None
             if affine is not None:
                 im = self._affine_window(img, affine)
-                out[f"color_affine_{name}"] = to_array(im)
+                out[f"color_affine_{name}"] = conv(im)
                 if name == "0" or full_pyramid:
-                    out[f"color_affine_aug_{name}"] = to_array(jitter(im))
+                    out[f"color_affine_aug_{name}"] = conv(jitter(im))
             if full_pyramid:
                 # progressive resize from the previous scale (reference
                 # :156-162: resize[i] applied to the scale i-1 image)
@@ -273,17 +281,22 @@ class MonoDataset:
                 for s in range(1, self.num_scales):
                     size = (self.width // 2**s, self.height // 2**s)
                     prev = prev.resize(size, self.interp)
-                    out[f"color_{name}_s{s}"] = to_array(prev)
-                    out[f"color_aug_{name}_s{s}"] = to_array(jitter(prev))
+                    out[f"color_{name}_s{s}"] = conv(prev)
+                    out[f"color_aug_{name}_s{s}"] = conv(jitter(prev))
                     if prev_aff is not None:
                         prev_aff = prev_aff.resize(size, self.interp)
-                        out[f"color_affine_{name}_s{s}"] = to_array(prev_aff)
-                        out[f"color_affine_aug_{name}_s{s}"] = to_array(
+                        out[f"color_affine_{name}_s{s}"] = conv(prev_aff)
+                        out[f"color_affine_aug_{name}_s{s}"] = conv(
                             jitter(prev_aff)
                         )
 
         if affine is not None:
             mask_rec, mask_cons = self._affine_masks(affine)
+            if self.stage_uint8:
+                # {0,1} float -> {0,255} uint8: the device /255 restores
+                # exactly {0.0, 1.0}
+                mask_rec = (mask_rec * 255).astype(np.uint8)
+                mask_cons = (mask_cons * 255).astype(np.uint8)
             out.update(
                 {
                     "Rc": affine["Rc"],
@@ -301,9 +314,9 @@ class MonoDataset:
             doj_raw = self.get_doj_masks(folder, frame_index, do_flip)
             for name, m in doj_raw.items():
                 res = m.resize((self.width, self.height), self.interp)
-                out[f"doj_mask_{name}"] = to_array(res)
+                out[f"doj_mask_{name}"] = conv(res)
                 if affine is not None:
-                    out[f"doj_mask_{name}_affine"] = to_array(
+                    out[f"doj_mask_{name}_affine"] = conv(
                         self._affine_window(m, affine)
                     )
 

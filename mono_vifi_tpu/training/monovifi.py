@@ -55,6 +55,20 @@ def _tile(x, n):
     return jnp.concatenate([x] * n, axis=0)
 
 
+def dequantize_batch(batch):
+    """uint8-staged image/mask planes -> float32/255 ON DEVICE.
+
+    The host pipeline optionally ships color/mask planes as uint8
+    (data/mono_dataset.py stage_uint8: 4x less host convert/collate and
+    host->device traffic); f32(u8)/255 here equals the host to_array
+    conversion exactly. Float batches (tests, bench) pass through untouched.
+    """
+    return {
+        k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
+
+
 class MonoViFiStep:
     """Builds the jitted train step for a ModelBundle."""
 
@@ -261,6 +275,7 @@ class MonoViFiStep:
     def loss_fn(self, params, batch_stats, vfi_params, batch, rng, train=True):
         cfg = self.cfg
         b = self.b
+        batch = dequantize_batch(batch)
         B = batch["color_0"].shape[0]
         rng_n1, rng_n2, rng_dp1, rng_dp2 = jax.random.split(rng, 4)
 

@@ -67,6 +67,38 @@ def test_kitti_dataset_train_keys(kitti_dir):
     )
 
 
+def test_uint8_staging_dequantizes_exactly(kitti_dir):
+    """stage_uint8=True ships uint8 planes; f32(u8)/255 (the device-side
+    dequantize_batch) must reproduce the float pipeline exactly."""
+    kw = dict(
+        height=64, width=96, frame_idxs=[0, -1, 1], num_scales=1,
+        use_affine=True, is_train=True, seed=7,
+    )
+    ds_f = KITTIRAWDataset(kitti_dir, _filenames(), **kw)
+    ds_u = KITTIRAWDataset(kitti_dir, _filenames(), stage_uint8=True, **kw)
+    a, b = ds_f[1], ds_u[1]
+    assert set(a) == set(b)
+    n_u8 = 0
+    for k in a:
+        if b[k].dtype == np.uint8:
+            n_u8 += 1
+            np.testing.assert_array_equal(
+                a[k], b[k].astype(np.float32) / 255.0, err_msg=k
+            )
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # all color planes and both affine masks staged
+    assert n_u8 == 10 + 2
+
+    # the jitted-side helper performs the same conversion
+    import jax.numpy as jnp
+    from mono_vifi_tpu.training.monovifi import dequantize_batch
+
+    dq = dequantize_batch({k: jnp.asarray(v) for k, v in b.items()})
+    for k in a:
+        np.testing.assert_allclose(np.asarray(dq[k]), a[k], atol=0, err_msg=k)
+
+
 def test_missing_neighbor_duplicates_center(kitti_dir):
     # frame 0 has no -1 neighbor
     ds = KITTIRAWDataset(

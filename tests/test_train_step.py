@@ -101,6 +101,34 @@ def test_train_step_runs_and_updates(setup):
     assert int(state2.step) == 2
 
 
+@pytest.mark.slow
+def test_uint8_batch_matches_float_batch(setup):
+    """A uint8-staged batch (color planes quantized, masks {0,255}) must give
+    the same loss as its f32(u8)/255 twin via dequantize_batch. The
+    dequantized VALUES are exactly equal (tests/test_data.py pins that);
+    at the whole-graph level XLA may fuse the in-graph /255 into downstream
+    ops and reassociate, so the loss is compared at f32-noise tolerance."""
+    cfg, bundle, tx, state, vfi_params = setup
+    fb = make_batch(2, cfg.height, cfg.width)
+    u8, f32 = {}, {}
+    for k, v in fb.items():
+        if k.startswith(("color_", "valid_mask_")):
+            q = jnp.round(v * 255.0).astype(jnp.uint8)
+            u8[k] = q
+            f32[k] = q.astype(jnp.float32) / 255.0
+        else:
+            u8[k] = f32[k] = v
+    mv = MonoViFiStep(bundle, tx)
+    lf = jax.jit(
+        lambda b: mv.loss_fn(
+            state.params, state.batch_stats, vfi_params, b,
+            jax.random.PRNGKey(5), train=False,
+        )[0]
+    )
+    a, b = float(lf(u8)), float(lf(f32))
+    assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (a, b)
+
+
 def test_eval_forwards(setup):
     cfg, bundle, tx, state, vfi_params = setup
     vfi_small = bundle.init_vfi(jax.random.PRNGKey(4), "test")

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.bench_loader import make_kitti_dir  # noqa: E402
 
 
-def build_loader(root, batch_size, workers, n_files=200):
+def build_loader(root, batch_size, workers, n_files=200, stage_uint8=True):
     from mono_vifi_tpu.data import DataLoader, KITTIRAWDataset, StatefulSampler
 
     files = [
@@ -42,12 +42,13 @@ def build_loader(root, batch_size, workers, n_files=200):
     ds = KITTIRAWDataset(
         root, files * reps, height=192, width=640, frame_idxs=[0, -1, 1],
         num_scales=1, use_affine=True, is_train=True, seed=1,
+        stage_uint8=stage_uint8,
     )
     sampler = StatefulSampler(len(ds), seed=1)
     return DataLoader(ds, batch_size, sampler=sampler, num_workers=workers)
 
 
-def bench_e2e(root, steps, batch_size, workers):
+def bench_e2e(root, steps, batch_size, workers, stage_uint8=True):
     import jax
 
     from mono_vifi_tpu.config import Options
@@ -69,7 +70,8 @@ def bench_e2e(root, steps, batch_size, workers):
     )
 
     loader = build_loader(root, batch_size, workers,
-                          n_files=(steps + 8) * batch_size)
+                          n_files=(steps + 8) * batch_size,
+                          stage_uint8=stage_uint8)
     rng = jax.random.PRNGKey(2)
 
     # warmup: compile on the first real batch (host-materialized sync)
@@ -105,8 +107,9 @@ def bench_e2e(root, steps, batch_size, workers):
     }
 
 
-def bench_loader_rate(root, n_samples, batch_size, workers):
-    loader = build_loader(root, batch_size, workers, n_files=n_samples + 40)
+def bench_loader_rate(root, n_samples, batch_size, workers, stage_uint8=True):
+    loader = build_loader(root, batch_size, workers, n_files=n_samples + 40,
+                          stage_uint8=stage_uint8)
     it = iter(loader)
     next(it)
     t0 = time.perf_counter()
@@ -121,6 +124,7 @@ def bench_loader_rate(root, n_samples, batch_size, workers):
         "value": round(n / dt, 2),
         "unit": "samples/s",
         "workers": workers,
+        "stage_uint8": stage_uint8,
     }
 
 
@@ -133,8 +137,11 @@ def main():
     ap.add_argument("--loader-only", action="store_true")
     ap.add_argument("--loader-sweep", action="store_true",
                     help="measure loader rate at 1, 2, 4, 8 workers")
+    ap.add_argument("--no-uint8", action="store_true",
+                    help="stage float32 batches (pre-round-5 behavior)")
     ap.add_argument("--keep-dir", default="")
     args = ap.parse_args()
+    u8 = not args.no_uint8
 
     workers = args.workers or min(8, os.cpu_count() or 1)
     root = args.keep_dir or tempfile.mkdtemp(prefix="kitti_bench_")
@@ -142,17 +149,21 @@ def main():
         make_kitti_dir(root)
         if args.loader_sweep:
             for w in (1, 2, 4, 8):
-                print(json.dumps(bench_loader_rate(root, 60, args.batch, w)))
+                print(json.dumps(
+                    bench_loader_rate(root, 60, args.batch, w, u8)
+                ))
             return
         if args.loader_only:
             print(json.dumps(
-                bench_loader_rate(root, 80, args.batch, workers)
+                bench_loader_rate(root, 80, args.batch, workers, u8)
             ))
             return
         from bench import enable_compile_cache
 
         enable_compile_cache()
-        print(json.dumps(bench_e2e(root, args.steps, args.batch, workers)))
+        print(json.dumps(
+            bench_e2e(root, args.steps, args.batch, workers, u8)
+        ))
     finally:
         if not args.keep_dir:
             shutil.rmtree(root, ignore_errors=True)

@@ -121,7 +121,7 @@ class Trainer:
         self.train_dataset = dataset_cls(
             data_path, train_files, cfg.height, cfg.width, cfg.frame_ids,
             cfg.num_scales, use_affine=cfg.use_affine, is_train=True,
-            img_ext=img_ext, seed=cfg.seed, **extra,
+            img_ext=img_ext, seed=cfg.seed, stage_uint8=True, **extra,
         )
         self.test_dataset = dataset_cls(
             cfg.data_path, test_files, cfg.height, cfg.width, [0, -1, 1],
