@@ -121,22 +121,39 @@ def main():
     assert np.isfinite(loss)
 
     samples_per_sec = B * iters / dt
+
+    # MFU: estimate-free distance-to-peak (PERF.md "distance to target").
+    # XLA cost analysis counts the whole step (fwd+bwd+optimizer); v5e bf16
+    # peak is ~197 TFLOP/s/chip.
+    mfu = tf_step = None
+    try:
+        cost = step.lower(
+            state, vfi_params, batch, rng
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+        if flops > 0:
+            tf_step = flops / 1e12
+            mfu = (flops * iters / dt) / 197e12
+    except Exception:
+        pass
     name = "monovifi_train_samples_per_sec_640x192_bs10_1chip"
     if args.backbone != "ResNet18" or args.hr:
         name = (
             f"monovifi_{args.backbone.lower()}_train_samples_per_sec_"
             f"{W}x{H}_bs{B}_1chip"
         )
-    print(
-        json.dumps(
-            {
-                "metric": name,
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": name,
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    if mfu is not None:
+        rec["tflop_per_step"] = round(tf_step, 2)
+        rec["mfu_vs_197tflops_bf16"] = round(mfu, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
