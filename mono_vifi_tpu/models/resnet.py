@@ -103,25 +103,57 @@ class ResNetFeatures(nn.Module):
 
     num_layers: int = 18
     dtype: jnp.dtype | None = None
+    block_l1: bool = True  # evaluate layer1 on fy=2 row blocks: a 64-ch conv
+    # at 1/4 res runs at ~16% of MXU peak (lane padding); the exact 128-ch
+    # block form is 2.4x faster (tools/bench_conv.py). BasicBlock archs only.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mono_vifi_tpu.ops import blockconv as bc
+
         block_cls, counts, _ = _LAYER_SPECS[self.num_layers]
 
         x = (x - 0.45) / 0.225
-        x = nn.Conv(
-            64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
-        x = batch_norm(train, "bn1", self.dtype)(x)
-        f0 = nn.relu(x)
+        use_block_stem = self.block_l1 and x.shape[1] % 4 == 0
+        if use_block_stem:
+            # stem on fy=2 row blocks: the 7x7/s2 conv emits block-form
+            # output (one 9-row phase-major kernel), so conv1's lanes run
+            # full and bn1/relu (the single largest BN-backward reduction
+            # in the step) see 128-channel tiles
+            w = bc._KernelOnly((7, 7, x.shape[-1], 64), name="conv1")()
+            xb = bc.stem_conv_s2_blocked(x, w, self.dtype)
+            xb = bc.BlockBatchNorm(64, 2, self.dtype, name="bn1")(xb, train)
+            f0 = bc.d2s_rows(nn.relu(xb), 2)
+        else:
+            x = nn.Conv(
+                64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
+            x = batch_norm(train, "bn1", self.dtype)(x)
+            f0 = nn.relu(x)
 
         feats = [f0]
         x = max_pool_3x3_s2_p1(f0)
         in_planes = 64
+        use_block_l1 = (
+            self.block_l1 and block_cls is BasicBlock and x.shape[1] % 2 == 0
+        )
         for li, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), counts), start=1
         ):
+            if li == 1 and use_block_l1:
+                from mono_vifi_tpu.ops.blockconv import (
+                    BlockBasicBlock, d2s_rows, s2d_rows,
+                )
+
+                xb = s2d_rows(x, 2)
+                for bi in range(n_blocks):
+                    xb = BlockBasicBlock(
+                        64, 2, self.dtype, name=f"layer1_{bi}"
+                    )(xb, train)
+                x = d2s_rows(xb, 2)
+                feats.append(x)
+                continue
             stride = 1 if li == 1 else 2
             for bi in range(n_blocks):
                 s = stride if bi == 0 else 1
