@@ -18,7 +18,26 @@ import flax.linen as nn
 
 from mono_vifi_tpu.models.common import batch_norm
 from mono_vifi_tpu.models.resnet import BasicBlock, Bottleneck
+from mono_vifi_tpu.ops import blockconv as bc
 from mono_vifi_tpu.ops.image import resize_bilinear
+
+
+def _branch_fy(c: int, h: int) -> int:
+    """Row-block factor for a branch's BasicBlock run (ops/blockconv.py).
+
+    The 18/36-channel branch convs run at 6-9% of MXU peak from lane
+    padding; evaluating them on fy row blocks (channels x fy, rows / fy)
+    costs fy x the dense FLOPs. Measured on v5e (tools/bench_conv.py): the
+    CONV is wall-time par up to fy*c = 72 (18ch 177us == fy4/72ch 173us)
+    and loses beyond (fy4pad/128ch 221us, b2 fy2 +29%), so the cap is 72 —
+    the win is the block's BN/relu/residual elementwise work and BN-stat
+    reductions running on 4x fatter lanes. Factor capped so the blocked
+    height stays >= 4 rows.
+    """
+    fy = 1
+    while c * (fy * 2) <= 72 and h % (fy * 2) == 0 and h // (fy * 2) >= 4:
+        fy *= 2
+    return fy
 
 # stage specs: (num_modules, num_branches, blocks_per_branch, channels, block)
 HRNET_CONFIGS = {
@@ -72,6 +91,8 @@ class HRModule(nn.Module):
     channels: Sequence[int]
     num_blocks: Sequence[int]
     dtype: jnp.dtype | None = None
+    block_branches: bool = True  # evaluate small-channel branch runs on fy
+    # row blocks (exact rearrangement, same param tree — see _branch_fy)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -79,10 +100,20 @@ class HRModule(nn.Module):
         ys = []
         for i in range(n):
             y = xs[i]
-            for k in range(self.num_blocks[i]):
-                y = BasicBlock(
-                    self.channels[i], 1, False, self.dtype, name=f"branch{i}_{k}"
-                )(y, train)
+            c = self.channels[i]
+            fy = _branch_fy(c, y.shape[1]) if self.block_branches else 1
+            if fy > 1:
+                yb = bc.s2d_rows(y, fy)
+                for k in range(self.num_blocks[i]):
+                    yb = bc.BlockBasicBlock(
+                        c, fy, self.dtype, name=f"branch{i}_{k}"
+                    )(yb, train)
+                y = bc.d2s_rows(yb, fy)
+            else:
+                for k in range(self.num_blocks[i]):
+                    y = BasicBlock(
+                        c, 1, False, self.dtype, name=f"branch{i}_{k}"
+                    )(y, train)
             ys.append(y)
         if n == 1:
             return ys

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--no-affine", action="store_true")
+    ap.add_argument("--backbone", default="ResNet18",
+                    help="ResNet18 | LiteMono | DHRNet")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--top", type=int, default=0,
                     help="also print the top-N individual fusions/ops")
@@ -46,6 +48,7 @@ def main():
         height=args.height,
         width=args.width,
         batch_size=args.batch,
+        backbone=args.backbone,
         use_affine=not args.no_affine,
         compute_dtype="bfloat16",
     )
