@@ -71,6 +71,63 @@ def test_block_basic_block_matches_plain():
         )
 
 
+def test_fold_batch_roundtrip_and_layout():
+    x = jnp.asarray(np.random.default_rng(5).random((6, 4, 6, 5), np.float32))
+    for fb in (2, 3):
+        xf = bc.fold_batch(x, fb)
+        assert xf.shape == (6 // fb, 4, 6, fb * 5)
+        np.testing.assert_array_equal(
+            np.asarray(bc.unfold_batch(xf, fb)), np.asarray(x)
+        )
+    # group-major: folded channels [0:C] == sample 0, [C:2C] == sample 1
+    xf = bc.fold_batch(x, 2)
+    np.testing.assert_array_equal(np.asarray(xf[0, ..., :5]), np.asarray(x[0]))
+    np.testing.assert_array_equal(np.asarray(xf[0, ..., 5:]), np.asarray(x[1]))
+
+
+@pytest.mark.parametrize("fb", [2, 3])
+def test_diag_kernel_conv_exact(fb):
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((6, 8, 10, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 7)) * 0.2, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = bc.unfold_batch(
+        bc.block_conv_rows(bc.fold_batch(x, fb), bc.diag_kernel(w, fb)), fb
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fold_basic_block_matches_plain():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((6, 8, 10, 16)), jnp.float32)
+    plain = BasicBlock(16)
+    folded = bc.FoldBasicBlock(16, fb=3)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=True)
+    xf = bc.fold_batch(x, 3)
+    for train in (False, True):
+        if train:
+            ref, mut_p = plain.apply(variables, x, train=True,
+                                     mutable=["batch_stats"])
+            got, mut_b = folded.apply(variables, xf, train=True,
+                                      mutable=["batch_stats"])
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-5
+                ),
+                mut_p["batch_stats"], mut_b["batch_stats"],
+            )
+        else:
+            ref = plain.apply(variables, x, train=False)
+            got = folded.apply(variables, xf, train=False)
+        np.testing.assert_allclose(
+            np.asarray(bc.unfold_batch(got, 3)), np.asarray(ref), atol=1e-5,
+            err_msg=f"train={train}",
+        )
+
+
 def test_stem_conv_s2_blocked_exact():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 16, 20, 3)), jnp.float32)
@@ -82,6 +139,44 @@ def test_stem_conv_s2_blocked_exact():
     got = bc.d2s_rows(bc.stem_conv_s2_blocked(x, w), 2)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_hrnet_branch_folding_matches_plain():
+    """B=6 activates batch folding (fb=6 for 18ch, fb=3 for 36ch branches);
+    the dhrnet torch-parity test runs B=1 which bypasses it, so this pins the
+    folded path against the plain module with identical variables."""
+    from mono_vifi_tpu.models.hrnet import HighResolutionNet, _branch_fb
+
+    assert _branch_fb(18, 6) == 6 and _branch_fb(36, 6) == 3
+    assert _branch_fb(72, 6) == 1 and _branch_fb(18, 1) == 1
+    assert _branch_fb(18, 48) == 6 and _branch_fb(36, 48) == 3
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((6, 32, 48, 3)) * 0.5, jnp.float32)
+    plain = HighResolutionNet("hrnet18", block_branches=False)
+    folded = HighResolutionNet("hrnet18", block_branches=True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, a: a * 0.3 if path[-1].key == "kernel" else a, variables
+    )
+    assert jax.tree.map(lambda a: a.shape, variables) == jax.tree.map(
+        lambda a: a.shape, folded.init(jax.random.PRNGKey(0), x, train=False)
+    )
+    ref = plain.apply(variables, x, train=False)
+    got = folded.apply(variables, x, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4)
+
+    ref, mp = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    got, mb = folded.apply(variables, x, train=True, mutable=["batch_stats"])
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        mp["batch_stats"], mb["batch_stats"],
+    )
 
 
 def test_resnet_block_l1_matches_plain():

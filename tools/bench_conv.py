@@ -55,6 +55,11 @@ def main():
         ("hrnet b0 x2diag", 48, 160, 36, 36),
         ("hrnet b0 x4diag", 48, 160, 72, 72),
         ("hrnet b0 x7diag", 48, 160, 126, 126),
+        # real folded shapes: batch divided by the fold factor (B=48 -> fb=6
+        # for 18ch, fb=3 for 36ch), which is what models/hrnet.py runs
+        ("b0 fold6 REAL", 48, 160, 108, 108, 6),
+        ("b1 fold3 REAL", 24, 80, 108, 108, 3),
+        ("b0 fold4 REAL", 48, 160, 72, 72, 4),
         ("hrnet b1 @1/8", 24, 80, 36, 36),
         ("hrnet b1 S2Dfy2", 12, 80, 72, 72),
         ("hrnet b1 fy4", 6, 80, 144, 144),
@@ -71,8 +76,10 @@ def main():
     ]
     rng = np.random.default_rng(0)
     print(f"batch={B} chain={N_CHAIN} bf16")
-    for label, H, W, cin, cout in cases:
-        x = jnp.asarray(rng.standard_normal((B, H, W, cin)), jnp.bfloat16)
+    for case in cases:
+        label, H, W, cin, cout = case[:5]
+        Bc = B // case[5] if len(case) > 5 else B  # batch-folded: B/fb
+        x = jnp.asarray(rng.standard_normal((Bc, H, W, cin)), jnp.bfloat16)
         w = jnp.asarray(
             rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.bfloat16
         )
@@ -81,10 +88,10 @@ def main():
         for _ in range(args.iters):
             float(run(x, w, N_CHAIN))
         dt = (time.time() - t0) / args.iters / N_CHAIN
-        flops = 2 * 9 * cin * cout * H * W * B
+        flops = 2 * 9 * cin * cout * H * W * Bc
         eff = flops / dt / 1e12
         print(
-            f"{label:18s} ({B},{H:3d},{W:3d},{cin:3d})->{cout:3d}"
+            f"{label:18s} ({Bc},{H:3d},{W:3d},{cin:3d})->{cout:3d}"
             f"  {dt*1e6:8.1f} us/conv  {flops/1e9:6.2f} GF"
             f"  {eff:6.1f} TF/s  ({eff/197*100:4.1f}% peak)"
         )
